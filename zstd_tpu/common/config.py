@@ -1,0 +1,42 @@
+"""Frozen codec configuration threaded as a static argument into jitted code.
+
+The reference's knobs (Cargo features, set_max_window_size, CompressionLevel,
+DictParams — SURVEY.md §5 'Config / flag system') become one immutable
+dataclass here so every TPU pipeline is shape-static under jit.
+"""
+
+import dataclasses
+import enum
+
+from zstd_tpu.common import constants
+
+
+class CompressionLevel(enum.IntEnum):
+    """Mirrors ruzstd's CompressionLevel (encoding/mod.rs:46-67)."""
+
+    UNCOMPRESSED = 0
+    FASTEST = 1
+    DEFAULT = 3
+    BETTER = 7
+    BEST = 11
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    # Decode caps
+    max_window_size: int = constants.DEFAULT_MAX_WINDOW_SIZE
+    verify_checksums: bool = True
+
+    # Batched TPU pipeline shapes (all static under jit)
+    batch_size: int = 64               # independent frames/blocks per device step
+    max_block_bytes: int = constants.MAX_BLOCK_SIZE
+    max_sequences: int = 16 * 1024     # per-block sequence cap for scan length
+    max_literals: int = constants.MAX_BLOCK_SIZE
+
+    # Encode
+    level: CompressionLevel = CompressionLevel.FASTEST
+    write_checksum: bool = True
+    window_log: int = 17               # 128 KiB matcher window like the reference
+
+    def clamp_window(self, requested: int) -> int:
+        return min(requested, constants.MAX_WINDOW_SIZE)

@@ -1,0 +1,148 @@
+"""Frame compression: header serialization, per-block level dispatch,
+no-expansion guarantees, and content checksums.
+
+Capability parity with /root/reference/ruzstd/src/encoding/frame_compressor.rs
+and frame_header.rs: magic + descriptor byte + window descriptor (no FCS, like
+the reference), 128 KiB block loop, level dispatch (Uncompressed → raw blocks;
+Fastest → RLE/compressed/raw per block, emitting Compressed only when strictly
+smaller), empty-input zero-size raw last block, and the 4-byte xxhash64-low-32
+content checksum.
+"""
+
+import io
+
+from zstd_tpu.common import constants as C
+from zstd_tpu.common.config import CodecConfig, CompressionLevel
+from zstd_tpu.common.errors import EncodeError
+from zstd_tpu.encoding.block_enc import compress_block
+from zstd_tpu.utils.xxhash64 import Xxh64
+
+BLOCK_SIZE = C.MAX_BLOCK_SIZE  # 128 KiB spaces, like the reference matcher
+
+
+def _window_descriptor(window_log: int) -> int:
+    if window_log < 10 or window_log > 41:
+        raise EncodeError(f"window log {window_log} out of range")
+    return (window_log - 10) << 3  # mantissa 0
+
+
+def _frame_header(window_log: int, checksum: bool) -> bytes:
+    out = bytearray(C.MAGIC_NUM.to_bytes(4, "little"))
+    descriptor = 0
+    if checksum:
+        descriptor |= 0x04
+    out.append(descriptor)
+    out.append(_window_descriptor(window_log))
+    return bytes(out)
+
+
+def _block_header(last: bool, btype: int, size: int) -> bytes:
+    v = (1 if last else 0) | (btype << 1) | (size << 3)
+    return v.to_bytes(3, "little")
+
+
+class FrameCompressor:
+    """Streaming frame compressor over file-like source/drain
+    (frame_compressor.rs:38-276)."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+        self.source = None
+        self.drain = None
+
+    def set_source(self, source) -> None:
+        self.source = source
+
+    def set_drain(self, drain) -> None:
+        self.drain = drain
+
+    def set_compression_level(self, level: CompressionLevel) -> None:
+        self.config = CodecConfig(**{**self.config.__dict__, "level": level})
+
+    def compress(self) -> None:
+        if self.source is None or self.drain is None:
+            raise EncodeError("source and drain must be set before compress()")
+        cfg = self.config
+        level = cfg.level
+        if level not in (CompressionLevel.UNCOMPRESSED, CompressionLevel.FASTEST):
+            raise NotImplementedError(
+                f"compression level {level.name} not implemented "
+                "(reference parity: frame_compressor.rs:200-204)")
+        hasher = Xxh64() if cfg.write_checksum else None
+        self.drain.write(_frame_header(cfg.window_log, cfg.write_checksum))
+
+        first = True
+        while True:
+            block = self.source.read(BLOCK_SIZE)
+            if not block and not first:
+                break
+            # peek one byte ahead to know whether this is the last block
+            nxt = self.source.read(1)
+            last = len(nxt) == 0
+            if hasher is not None:
+                hasher.update(block)
+            self._write_block(block, last, level)
+            first = False
+            if last:
+                break
+            # push the peeked byte back by chaining it before further reads
+            self.source = _Chain(nxt, self.source)
+
+        if hasher is not None:
+            self.drain.write((hasher.digest() & 0xFFFFFFFF).to_bytes(4, "little"))
+
+    def _write_block(self, block: bytes, last: bool, level: CompressionLevel) -> None:
+        drain = self.drain
+        if len(block) == 0:
+            drain.write(_block_header(True, C.BLOCK_RAW, 0))
+            return
+        if level == CompressionLevel.UNCOMPRESSED:
+            drain.write(_block_header(last, C.BLOCK_RAW, len(block)))
+            drain.write(block)
+            return
+        # Fastest: RLE when uniform, else compressed-unless-it-expands
+        if block.count(block[0]) == len(block):
+            drain.write(_block_header(last, C.BLOCK_RLE, len(block)))
+            drain.write(block[0:1])
+            return
+        compressed = compress_block(block)
+        if compressed is not None and len(compressed) < len(block):
+            drain.write(_block_header(last, C.BLOCK_COMPRESSED, len(compressed)))
+            drain.write(compressed)
+        else:
+            drain.write(_block_header(last, C.BLOCK_RAW, len(block)))
+            drain.write(block)
+
+
+class _Chain:
+    """Read adapter that yields `head` bytes before delegating to `tail`."""
+
+    def __init__(self, head: bytes, tail):
+        self.head = head
+        self.tail = tail
+
+    def read(self, n: int) -> bytes:
+        if self.head:
+            take, self.head = self.head[:n], self.head[n:]
+            if len(take) < n:
+                take += self.tail.read(n - len(take))
+            return take
+        return self.tail.read(n)
+
+
+def compress(source, drain, level: CompressionLevel = CompressionLevel.FASTEST,
+             config: CodecConfig | None = None) -> None:
+    """Mirror of ruzstd's encoding::compress (encoding/mod.rs:24-29)."""
+    cfg = config or CodecConfig()
+    cfg = CodecConfig(**{**cfg.__dict__, "level": level})
+    fc = FrameCompressor(cfg)
+    fc.set_source(source)
+    fc.set_drain(drain)
+    fc.compress()
+
+
+def compress_to_vec(data, level: CompressionLevel = CompressionLevel.FASTEST,
+                    config: CodecConfig | None = None) -> bytes:
+    out = io.BytesIO()
+    compress(io.BytesIO(bytes(data)), out, level, config)
+    return out.getvalue()

@@ -1,0 +1,103 @@
+"""Benchmark: batched zstd decode throughput on the device.
+
+Mirrors the reference's headline scenario (enwik9-style compressible text
+decoded single-stream at ~106 MB/s, optimizations.md:7-26) transposed to the
+TPU design: many independent 128 KiB frames decoded data-parallel per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline is against ruzstd's 0.106 GB/s single-core enwik9 decode.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+RUZSTD_BASELINE_GBPS = 0.106  # enwik9 ≈ 9.4 s (BASELINE.md)
+
+
+def make_corpus(total_mb: int = 64, frame_kb: int = 128, seed: int = 0):
+    """Synthetic enwik-like mix: text-ish, structured, and binary runs."""
+    rng = np.random.RandomState(seed)
+    words = [b"the", b"of", b"and", b"compression", b"entropy", b"zstandard",
+             b"frame", b"block", b"sequence", b"literal", b"window", b"match",
+             b"offset", b"huffman", b"table", b"state", b"stream", b"decode"]
+    chunks = []
+    size = 0
+    target = total_mb << 20
+    while size < target:
+        kind = rng.randint(3)
+        if kind == 0:
+            n = rng.randint(2000, 8000)
+            idx = rng.randint(0, len(words), size=n)
+            part = b" ".join(words[i] for i in idx)
+        elif kind == 1:
+            n = rng.randint(1000, 4000)
+            part = b"".join(b"%d,%d,item-%d\n" % (j, (j * 37) % 1001, j % 64)
+                            for j in range(n))
+        else:
+            base = rng.randint(0, 256, size=rng.randint(256, 2048),
+                               dtype=np.uint8).tobytes()
+            part = base * rng.randint(4, 32)
+        chunks.append(part)
+        size += len(part)
+    blob = b"".join(chunks)[:target]
+    fk = frame_kb << 10
+    return [blob[i:i + fk] for i in range(0, len(blob), fk)]
+
+
+def main():
+    total_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    payloads = make_corpus(total_mb)
+    try:
+        import zstandard
+
+        comp = zstandard.ZstdCompressor(level=3, write_checksum=False)
+        frames = [comp.compress(p) for p in payloads]
+    except ImportError:
+        from zstd_tpu.common.config import CompressionLevel
+        from zstd_tpu.encoding.frame_enc import compress_to_vec
+
+        frames = [compress_to_vec(p, CompressionLevel.FASTEST) for p in payloads]
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    dec = BatchDecoder(verify_checksums=False)
+    t0 = time.time()
+    batch = dec.prepare(frames)
+    t_prepare = time.time() - t0
+
+    # warmup (compile) + correctness
+    outputs, out_len, ok = dec.run_device(batch)
+    n_bytes = sum(len(p) for p in payloads)
+    correct = bool(np.all(ok))
+    for i, p in enumerate(payloads):
+        if outputs[i][:len(p)].tobytes() != p:
+            correct = False
+            break
+
+    # steady-state timing
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        dec.run_device(batch)
+    t_device = (time.time() - t0) / runs
+
+    gbps = n_bytes / t_device / 1e9
+    result = {
+        "metric": "batched_decode_throughput",
+        "value": round(gbps, 4),
+        "unit": "GB/s/chip",
+        "vs_baseline": round(gbps / RUZSTD_BASELINE_GBPS, 2),
+        "correct": correct,
+        "frames": len(frames),
+        "decoded_mb": round(n_bytes / 1e6, 1),
+        "device_s": round(t_device, 3),
+        "host_prepare_s": round(t_prepare, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

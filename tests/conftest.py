@@ -1,13 +1,18 @@
 import os
 import sys
 
-# Multi-device CPU mesh for sharding tests; the real-TPU bench path sets its
-# own platform. Must be set before jax imports anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Multi-device CPU mesh for all tests. The image's sitecustomize imports jax
+# at interpreter start with JAX_PLATFORMS=axon (real tunneled TPU), so env
+# vars are too late — override through jax.config instead. XLA_FLAGS must be
+# set before the CPU backend initializes.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,450 @@
+"""Host framer: split frames into device-ready lane batches.
+
+The irregular ~1% of the format (headers, table descriptions) is parsed on
+host using the oracle's parsers; 100% of payload decoding (Huffman literal
+streams, the tANS sequence bitstreams, LZ77 execution) runs on device. The
+framer emits:
+
+  - Huffman lanes: one per (compressed-literals block, stream), with a
+    destination (frame, offset) in the frame's literal stream
+  - Sequence lanes: one per compressed block with sequences, with a
+    destination (frame, slot) range in the frame's sequence arrays and a
+    reserved trailing-literals slot (its length — block literals minus the
+    sum of decoded ll — is only known on device)
+  - Frame-level base arrays host-prefilled with everything already plain:
+    raw/RLE block bytes, raw/RLE literal sections, synthetic sequences
+
+Frames that need features the device path does not cover yet (external
+dictionary content) are flagged for the host oracle fallback.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from zstd_tpu.common import constants as C
+from zstd_tpu.common.errors import ZstdError
+from zstd_tpu.oracle import blocks as blocks_mod
+from zstd_tpu.oracle import frame as frame_mod
+from zstd_tpu.oracle import fse, huff0
+from zstd_tpu.ops.bitstream import host_initial_position
+from zstd_tpu.ops.sequence import pack_fse_table
+from zstd_tpu.utils.bitio import BitReader
+
+
+def _round_pow2(n: int, lo: int = 16) -> int:
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+@dataclasses.dataclass
+class FrameMeta:
+    index: int
+    out_len: int
+    lit_len: int
+    checksum: int | None
+    ok: bool                 # host-side parse success
+    fallback: bool = False   # needs oracle path (dict etc.)
+    error: str = ""
+
+
+@dataclasses.dataclass
+class DeviceBatch:
+    # huffman lanes
+    huff_streams: np.ndarray   # (Bs, Ls) u8
+    huff_pos: np.ndarray       # (Bs,) i32
+    huff_tid: np.ndarray       # (Bs,) i32
+    huff_nsym: np.ndarray      # (Bs,) i32
+    huff_tables: np.ndarray    # (Th, 2048) u16
+    huff_maxbits: np.ndarray   # (Th,) i32
+    huff_dst_frame: np.ndarray  # (Bs,) i32
+    huff_dst_off: np.ndarray    # (Bs,) i32
+    huff_len: np.ndarray        # (Bs,) i32 true stream byte length
+    # sequence lanes
+    seq_streams: np.ndarray    # (Bb, Lb) u8
+    seq_pos: np.ndarray        # (Bb,) i32
+    seq_n: np.ndarray          # (Bb,) i32
+    ll_tid: np.ndarray
+    of_tid: np.ndarray
+    ml_tid: np.ndarray
+    ll_tables: np.ndarray      # (Tl, 512) u32
+    of_tables: np.ndarray      # (To, 256) u32
+    ml_tables: np.ndarray      # (Tm, 512) u32
+    ll_logs: np.ndarray
+    of_logs: np.ndarray
+    ml_logs: np.ndarray
+    seq_dst_frame: np.ndarray  # (Bb,) i32
+    seq_dst_off: np.ndarray    # (Bb,) i32
+    seq_lit_total: np.ndarray  # (Bb,) i32 block literal count (for trailing)
+    seq_trail_slot: np.ndarray  # (Bb,) i32 frame slot for the trailing run
+    seq_len: np.ndarray        # (Bb,) i32 true stream byte length
+    # frame bases
+    lit_base: np.ndarray       # (Bf, Lit) u8
+    ll_base: np.ndarray        # (Bf, S) i32
+    ml_base: np.ndarray        # (Bf, S) i32
+    of_base: np.ndarray        # (Bf, S) i32
+    is_real: np.ndarray        # (Bf, S) bool
+    out_len: np.ndarray        # (Bf,) i32
+    metas: list  # FrameMeta per frame
+    out_width: int
+    max_huff_symbols: int
+    max_seqs: int
+
+
+class _TableCache:
+    """Dedupe device table rows (predefined/treeless/repeat sharing)."""
+
+    def __init__(self, width):
+        self.width = width
+        self.rows = []
+
+    def add(self, packed_row) -> int:
+        self.rows.append(packed_row)
+        return len(self.rows) - 1
+
+    def stack(self, dtype):
+        if not self.rows:
+            return np.zeros((1, self.width), dtype=dtype)
+        return np.stack(self.rows).astype(dtype)
+
+
+_PREDEFINED = {}
+
+
+def _predefined_table(kind: str):
+    if kind not in _PREDEFINED:
+        dist, log = {
+            "ll": (C.LL_DEFAULT_DIST, C.LL_DEFAULT_ACC_LOG),
+            "of": (C.OF_DEFAULT_DIST, C.OF_DEFAULT_ACC_LOG),
+            "ml": (C.ML_DEFAULT_DIST, C.ML_DEFAULT_ACC_LOG),
+        }[kind]
+        _PREDEFINED[kind] = fse.build_table_from_probabilities(list(dist), log)
+    return _PREDEFINED[kind]
+
+
+class Framer:
+    def __init__(self):
+        self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
+        self.seq_lanes = []    # (stream_bytes, pos, n, ll/of/ml tid, frame, dst, lit_total, trail_slot)
+        self.huff_tabs = _TableCache(2048)
+        self.ll_tabs = _TableCache(512)
+        self.of_tabs = _TableCache(256)
+        self.ml_tabs = _TableCache(512)
+        self.huff_maxbits = []
+        self.ll_logs, self.of_logs, self.ml_logs = [], [], []
+        self.frames = []       # per-frame dict: lit chunks, seq slots, ...
+        self.metas = []
+
+    # ---- per-frame state ----------------------------------------------------
+
+    def add_frame(self, data: bytes, index: int) -> None:
+        """Parse one frame's structure; raises nothing — failures flag the lane."""
+        fr = {
+            "lit_parts": [],   # (offset, bytes) host-known literal content
+            "lit_cursor": 0,
+            "seqs": [],        # synthetic (slot, ll, ml, of)
+            "seq_cursor": 0,
+            "out_bound": 0,    # upper bound on decoded size (batch sizing)
+            "fcs": None,
+        }
+        meta = FrameMeta(index=index, out_len=0, lit_len=0, checksum=None, ok=True)
+        try:
+            self._parse_frame(data, fr, meta)
+        except ZstdError as e:
+            meta.ok = False
+            meta.error = f"{type(e).__name__}: {e}"
+        except Exception as e:  # framer must never crash the batch
+            meta.ok = False
+            meta.error = f"internal {type(e).__name__}: {e}"
+        meta.lit_len = fr["lit_cursor"]
+        meta.out_len = fr["fcs"] if fr["fcs"] is not None else -1
+        self.frames.append(fr)
+        self.metas.append(meta)
+
+    def _parse_frame(self, data: bytes, fr: dict, meta: FrameMeta) -> None:
+        header = frame_mod.parse_frame_header(data)
+        if header.dictionary_id is not None:
+            meta.fallback = True
+            return
+        fr["fcs"] = header.frame_content_size
+        pos = header.header_size
+        fidx = len(self.frames)
+
+        # cross-block entropy state (table ids on device)
+        cur_huff = None   # tid
+        cur_ll = cur_of = cur_ml = None
+
+        while True:
+            bh = blocks_mod.parse_block_header(data[pos:pos + 3])
+            pos += 3
+            cap = min(header.window_size or C.MAX_BLOCK_SIZE, C.MAX_BLOCK_SIZE)
+            if bh.block_size > cap:
+                raise ZstdError(f"block size {bh.block_size} over cap")
+            if bh.block_type == C.BLOCK_RLE:
+                byte = data[pos:pos + 1]
+                if len(byte) < 1:
+                    raise ZstdError("truncated RLE block")
+                pos += 1
+                self._add_literal_bytes(fr, byte)
+                n = bh.block_size
+                self._add_synthetic(fr, ll=1, ml=n - 1, of=1 if n > 1 else 0)
+                fr["out_bound"] += n
+            elif bh.block_type == C.BLOCK_RAW:
+                chunk = data[pos:pos + bh.block_size]
+                if len(chunk) < bh.block_size:
+                    raise ZstdError("truncated raw block")
+                pos += bh.block_size
+                self._add_literal_bytes(fr, chunk)
+                self._add_synthetic(fr, ll=len(chunk), ml=0, of=0)
+                fr["out_bound"] += len(chunk)
+            else:
+                content = data[pos:pos + bh.block_size]
+                if len(content) < bh.block_size:
+                    raise ZstdError("truncated compressed block")
+                pos += bh.block_size
+                cur_huff, cur_ll, cur_of, cur_ml = self._parse_compressed_block(
+                    content, fr, fidx, cur_huff, cur_ll, cur_of, cur_ml)
+            if bh.last_block:
+                break
+        if header.content_checksum:
+            cs = data[pos:pos + 4]
+            if len(cs) < 4:
+                raise ZstdError("truncated checksum")
+            meta.checksum = int.from_bytes(cs, "little")
+            pos += 4
+        if pos != len(data):
+            raise ZstdError(f"{len(data) - pos} trailing bytes after frame")
+
+    def _add_literal_bytes(self, fr: dict, chunk: bytes) -> None:
+        fr["lit_parts"].append((fr["lit_cursor"], chunk))
+        fr["lit_cursor"] += len(chunk)
+
+    def _add_synthetic(self, fr: dict, ll: int, ml: int, of: int) -> int:
+        slot = fr["seq_cursor"]
+        fr["seqs"].append((slot, ll, ml, of))
+        fr["seq_cursor"] += 1
+        return slot
+
+    def _parse_compressed_block(self, content: bytes, fr: dict, fidx: int,
+                                cur_huff, cur_ll, cur_of, cur_ml):
+        section = blocks_mod.parse_literals_section(content)
+        p = section.header_size
+        lit_start = fr["lit_cursor"]
+        regen = section.regenerated_size
+
+        if section.lit_type == C.LIT_RAW:
+            if p + regen > len(content):
+                raise ZstdError("truncated raw literals")
+            self._add_literal_bytes(fr, bytes(content[p:p + regen]))
+            p += regen
+        elif section.lit_type == C.LIT_RLE:
+            if p + 1 > len(content):
+                raise ZstdError("truncated rle literals")
+            self._add_literal_bytes(fr, content[p:p + 1] * regen)
+            p += 1
+        else:
+            comp = section.compressed_size
+            payload = bytes(content[p:p + comp])
+            if len(payload) < comp:
+                raise ZstdError("truncated compressed literals")
+            p += comp
+            q = 0
+            if section.lit_type == C.LIT_COMPRESSED:
+                table, consumed = huff0.parse_huffman_table(payload)
+                q = consumed
+                row = np.zeros(2048, dtype=np.uint16)
+                sz = 1 << table.max_bits
+                row[:sz] = (table.symbol.astype(np.uint16)
+                            | (table.num_bits.astype(np.uint16) << 8))
+                cur_huff = self.huff_tabs.add(row)
+                self.huff_maxbits.append(table.max_bits)
+            else:
+                if cur_huff is None:
+                    raise ZstdError("treeless literals without a table")
+            if section.num_streams == 1:
+                self._add_huff_lane(payload[q:], cur_huff, regen, fidx, lit_start)
+            else:
+                if len(payload) - q < 6:
+                    raise ZstdError("truncated jump table")
+                s1 = int.from_bytes(payload[q:q + 2], "little")
+                s2 = int.from_bytes(payload[q + 2:q + 4], "little")
+                s3 = int.from_bytes(payload[q + 4:q + 6], "little")
+                q += 6
+                total = len(payload) - q
+                s4 = total - s1 - s2 - s3
+                if s4 <= 0:
+                    raise ZstdError("jump table exceeds payload")
+                r123 = (regen + 3) // 4
+                r4 = regen - 3 * r123
+                if r4 < 0:
+                    raise ZstdError("regen too small for 4 streams")
+                off = lit_start
+                for sz_s, r in zip((s1, s2, s3, s4), (r123, r123, r123, r4)):
+                    self._add_huff_lane(payload[q:q + sz_s], cur_huff, r, fidx, off)
+                    q += sz_s
+                    off += r
+            fr["lit_cursor"] += regen
+
+        block_lits = fr["lit_cursor"] - lit_start
+
+        sh = blocks_mod.parse_sequences_header(content[p:])
+        p += sh.header_size
+        if sh.num_sequences == 0:
+            if block_lits:
+                self._add_synthetic(fr, ll=block_lits, ml=0, of=0)
+            fr["out_bound"] += block_lits
+            return cur_huff, cur_ll, cur_of, cur_ml
+
+        rest = content[p:]
+        rp = 0
+        cur_ll, used = self._setup_fse(sh.ll_mode, rest[rp:], cur_ll, "ll")
+        rp += used
+        cur_of, used = self._setup_fse(sh.of_mode, rest[rp:], cur_of, "of")
+        rp += used
+        cur_ml, used = self._setup_fse(sh.ml_mode, rest[rp:], cur_ml, "ml")
+        rp += used
+        bitstream = bytes(rest[rp:])
+        if not bitstream:
+            raise ZstdError("empty sequences bitstream")
+
+        dst = fr["seq_cursor"]
+        fr["seq_cursor"] += sh.num_sequences
+        trail_slot = self._add_synthetic(fr, ll=0, ml=0, of=0)  # device fills ll
+        self.seq_lanes.append(dict(
+            stream=bitstream, pos=host_initial_position(bitstream),
+            n=sh.num_sequences, ll=cur_ll, of=cur_of, ml=cur_ml,
+            frame=fidx, dst=dst, lit_total=block_lits, trail=trail_slot))
+        # this block's decoded size (sum of ll+ml) is only known on device;
+        # the format caps it at 128 KiB for batch sizing
+        fr["out_bound"] += C.MAX_BLOCK_SIZE
+        return cur_huff, cur_ll, cur_of, cur_ml
+
+    def _add_huff_lane(self, stream: bytes, tid: int, nsym: int,
+                       fidx: int, dst_off: int) -> None:
+        self.huff_lanes.append(dict(
+            stream=bytes(stream), pos=host_initial_position(bytes(stream)),
+            tid=tid, nsym=nsym, frame=fidx, dst=dst_off))
+
+    def _setup_fse(self, mode, data, cur, kind):
+        caches = {"ll": self.ll_tabs, "of": self.of_tabs, "ml": self.ml_tabs}
+        logs = {"ll": self.ll_logs, "of": self.of_logs, "ml": self.ml_logs}
+        widths = {"ll": 512, "of": 256, "ml": 512}
+        max_logs = {"ll": C.LL_MAX_LOG, "of": C.OF_MAX_LOG, "ml": C.ML_MAX_LOG}
+        if mode == C.MODE_PREDEFINED:
+            t = _predefined_table(kind)
+            tid = caches[kind].add(pack_fse_table(t, widths[kind]))
+            logs[kind].append(t.acc_log)
+            return tid, 0
+        if mode == C.MODE_RLE:
+            if len(data) < 1:
+                raise ZstdError("missing RLE byte")
+            t = fse.build_table_from_rle(data[0])
+            tid = caches[kind].add(pack_fse_table(t, widths[kind]))
+            logs[kind].append(0)
+            return tid, 1
+        if mode == C.MODE_FSE:
+            rdr = BitReader(bytes(data))
+            t = fse.parse_fse_table(rdr, max_logs[kind])
+            tid = caches[kind].add(pack_fse_table(t, widths[kind]))
+            logs[kind].append(t.acc_log)
+            return tid, rdr.bits_read() // 8
+        if cur is None:
+            raise ZstdError(f"{kind} repeat mode without previous table")
+        return cur, 0
+
+    # ---- batch assembly ------------------------------------------------------
+
+    def build(self) -> DeviceBatch:
+        Bf = max(len(self.frames), 1)
+        lit_w = _round_pow2(max((f["lit_cursor"] for f in self.frames), default=1))
+        seq_w = _round_pow2(max((f["seq_cursor"] for f in self.frames), default=1), lo=4)
+        bounds = [f["fcs"] if f["fcs"] is not None else f["out_bound"]
+                  for f in self.frames] or [1]
+        out_w = _round_pow2(max(bounds))
+
+        lit_base = np.zeros((Bf, lit_w), np.uint8)
+        ll_base = np.zeros((Bf, seq_w), np.int32)
+        ml_base = np.zeros((Bf, seq_w), np.int32)
+        of_base = np.zeros((Bf, seq_w), np.int32)
+        is_real = np.zeros((Bf, seq_w), bool)
+        out_len = np.zeros(Bf, np.int32)
+        for i, f in enumerate(self.frames):
+            for off, chunk in f["lit_parts"]:
+                lit_base[i, off:off + len(chunk)] = np.frombuffer(chunk, np.uint8)
+            for slot, ll, ml, of in f["seqs"]:
+                ll_base[i, slot] = ll
+                ml_base[i, slot] = ml
+                of_base[i, slot] = of
+            out_len[i] = f["fcs"] if f["fcs"] is not None else f["out_bound"]
+
+        # huffman lanes
+        Bs = max(len(self.huff_lanes), 1)
+        hs_w = _round_pow2(max((len(h["stream"]) for h in self.huff_lanes), default=1))
+        max_sym = _round_pow2(max((h["nsym"] for h in self.huff_lanes), default=1))
+        huff_streams = np.zeros((Bs, hs_w), np.uint8)
+        huff_pos = np.full(Bs, -1, np.int32)
+        huff_tid = np.zeros(Bs, np.int32)
+        huff_nsym = np.zeros(Bs, np.int32)
+        huff_dst_frame = np.zeros(Bs, np.int32)
+        huff_dst_off = np.zeros(Bs, np.int32)
+        huff_len = np.zeros(Bs, np.int32)
+        for i, h in enumerate(self.huff_lanes):
+            huff_len[i] = len(h["stream"])
+            huff_streams[i, :len(h["stream"])] = np.frombuffer(h["stream"], np.uint8)
+            huff_pos[i] = h["pos"]
+            huff_tid[i] = h["tid"]
+            huff_nsym[i] = h["nsym"]
+            huff_dst_frame[i] = h["frame"]
+            huff_dst_off[i] = h["dst"]
+
+        # sequence lanes
+        Bb = max(len(self.seq_lanes), 1)
+        ss_w = _round_pow2(max((len(s["stream"]) for s in self.seq_lanes), default=1))
+        max_seqs = _round_pow2(max((s["n"] for s in self.seq_lanes), default=1), lo=4)
+        seq_streams = np.zeros((Bb, ss_w), np.uint8)
+        seq_pos = np.full(Bb, -1, np.int32)
+        seq_n = np.zeros(Bb, np.int32)
+        ll_tid = np.zeros(Bb, np.int32)
+        of_tid = np.zeros(Bb, np.int32)
+        ml_tid = np.zeros(Bb, np.int32)
+        seq_dst_frame = np.zeros(Bb, np.int32)
+        seq_dst_off = np.zeros(Bb, np.int32)
+        seq_lit_total = np.zeros(Bb, np.int32)
+        # dummy/padded lanes must scatter their trailing run out of bounds
+        seq_trail_slot = np.full(Bb, 1 << 30, np.int32)
+        seq_len = np.zeros(Bb, np.int32)
+        for i, s in enumerate(self.seq_lanes):
+            seq_len[i] = len(s["stream"])
+            seq_streams[i, :len(s["stream"])] = np.frombuffer(s["stream"], np.uint8)
+            seq_pos[i] = s["pos"]
+            seq_n[i] = s["n"]
+            ll_tid[i] = s["ll"]
+            of_tid[i] = s["of"]
+            ml_tid[i] = s["ml"]
+            seq_dst_frame[i] = s["frame"]
+            seq_dst_off[i] = s["dst"]
+            seq_lit_total[i] = s["lit_total"]
+            seq_trail_slot[i] = s["trail"]
+            is_real[s["frame"], s["dst"]:s["dst"] + s["n"]] = True
+
+        return DeviceBatch(
+            huff_streams=huff_streams, huff_pos=huff_pos, huff_tid=huff_tid,
+            huff_nsym=huff_nsym,
+            huff_tables=self.huff_tabs.stack(np.uint16),
+            huff_maxbits=np.asarray(self.huff_maxbits or [1], np.int32),
+            huff_dst_frame=huff_dst_frame, huff_dst_off=huff_dst_off,
+            huff_len=huff_len,
+            seq_streams=seq_streams, seq_pos=seq_pos, seq_n=seq_n,
+            ll_tid=ll_tid, of_tid=of_tid, ml_tid=ml_tid,
+            ll_tables=self.ll_tabs.stack(np.uint32),
+            of_tables=self.of_tabs.stack(np.uint32),
+            ml_tables=self.ml_tabs.stack(np.uint32),
+            ll_logs=np.asarray(self.ll_logs or [0], np.int32),
+            of_logs=np.asarray(self.of_logs or [0], np.int32),
+            ml_logs=np.asarray(self.ml_logs or [0], np.int32),
+            seq_dst_frame=seq_dst_frame, seq_dst_off=seq_dst_off,
+            seq_lit_total=seq_lit_total, seq_trail_slot=seq_trail_slot,
+            seq_len=seq_len,
+            lit_base=lit_base, ll_base=ll_base, ml_base=ml_base,
+            of_base=of_base, is_real=is_real, out_len=out_len,
+            metas=self.metas, out_width=out_w,
+            max_huff_symbols=max_sym, max_seqs=max_seqs)

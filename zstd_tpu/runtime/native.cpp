@@ -1,0 +1,300 @@
+// Native host runtime for tpu-zstd.
+//
+// The reference implements its entire runtime in native code (Rust); here
+// the host-side hot paths that surround the TPU compute graph are C++:
+//   - xxhash64 (content checksums at memory speed; the NumPy/Python
+//     streaming fallback is ~100x slower)
+//   - LZ77 sequence execution (the host decode path / streaming drain),
+//     overlap-safe like decode_buffer.rs repeat()
+//   - frame boundary scanning (block-header walk for the batch splitter)
+//
+// Built as a plain shared library; Python binds via ctypes (no pybind11 in
+// the image). Exposed functions use only C types.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// xxhash64 (seed 0)
+// ---------------------------------------------------------------------------
+
+static const uint64_t P1 = 0x9E3779B185EBCA87ULL;
+static const uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+static const uint64_t P3 = 0x165667B19E3779F9ULL;
+static const uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+static const uint64_t P5 = 0x27D4EB2F165667C5ULL;
+
+static inline uint64_t rotl(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t rd64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return v;  // little-endian hosts only (x86/arm)
+}
+
+static inline uint64_t rd32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint64_t xxh_round(uint64_t acc, uint64_t lane) {
+    acc += lane * P2;
+    return rotl(acc, 31) * P1;
+}
+
+static inline uint64_t merge_round(uint64_t acc, uint64_t val) {
+    acc ^= xxh_round(0, val);
+    return acc * P1 + P4;
+}
+
+uint64_t zt_xxh64(const uint8_t* data, uint64_t len) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = P1 + P2, v2 = P2, v3 = 0, v4 = (uint64_t)0 - P1;
+        const uint8_t* limit = end - 32;
+        do {
+            v1 = xxh_round(v1, rd64(p));
+            v2 = xxh_round(v2, rd64(p + 8));
+            v3 = xxh_round(v3, rd64(p + 16));
+            v4 = xxh_round(v4, rd64(p + 24));
+            p += 32;
+        } while (p <= limit);
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+        h = merge_round(h, v1);
+        h = merge_round(h, v2);
+        h = merge_round(h, v3);
+        h = merge_round(h, v4);
+    } else {
+        h = P5;
+    }
+    h += len;
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, rd64(p));
+        h = rotl(h, 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= rd32(p) * P1;
+        h = rotl(h, 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (*p) * P5;
+        h = rotl(h, 11) * P1;
+        p++;
+    }
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+// Streaming state for the drain path.
+struct ZtXxh64State {
+    uint64_t v1, v2, v3, v4;
+    uint64_t total;
+    uint8_t tail[32];
+    uint32_t tail_len;
+};
+
+void zt_xxh64_init(ZtXxh64State* s) {
+    s->v1 = P1 + P2;
+    s->v2 = P2;
+    s->v3 = 0;
+    s->v4 = (uint64_t)0 - P1;
+    s->total = 0;
+    s->tail_len = 0;
+}
+
+void zt_xxh64_update(ZtXxh64State* s, const uint8_t* data, uint64_t len) {
+    s->total += len;
+    if (s->tail_len) {
+        uint32_t need = 32 - s->tail_len;
+        uint32_t take = len < need ? (uint32_t)len : need;
+        memcpy(s->tail + s->tail_len, data, take);
+        s->tail_len += take;
+        data += take;
+        len -= take;
+        if (s->tail_len < 32) return;
+        s->v1 = xxh_round(s->v1, rd64(s->tail));
+        s->v2 = xxh_round(s->v2, rd64(s->tail + 8));
+        s->v3 = xxh_round(s->v3, rd64(s->tail + 16));
+        s->v4 = xxh_round(s->v4, rd64(s->tail + 24));
+        s->tail_len = 0;
+    }
+    while (len >= 32) {
+        s->v1 = xxh_round(s->v1, rd64(data));
+        s->v2 = xxh_round(s->v2, rd64(data + 8));
+        s->v3 = xxh_round(s->v3, rd64(data + 16));
+        s->v4 = xxh_round(s->v4, rd64(data + 24));
+        data += 32;
+        len -= 32;
+    }
+    if (len) {
+        memcpy(s->tail, data, len);
+        s->tail_len = (uint32_t)len;
+    }
+}
+
+uint64_t zt_xxh64_digest(const ZtXxh64State* s) {
+    uint64_t h;
+    if (s->total >= 32) {
+        h = rotl(s->v1, 1) + rotl(s->v2, 7) + rotl(s->v3, 12) + rotl(s->v4, 18);
+        h = merge_round(h, s->v1);
+        h = merge_round(h, s->v2);
+        h = merge_round(h, s->v3);
+        h = merge_round(h, s->v4);
+    } else {
+        h = P5;
+    }
+    h += s->total;
+    const uint8_t* p = s->tail;
+    const uint8_t* end = s->tail + s->tail_len;
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, rd64(p));
+        h = rotl(h, 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= rd32(p) * P1;
+        h = rotl(h, 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (*p) * P5;
+        h = rotl(h, 11) * P1;
+        p++;
+    }
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+// ---------------------------------------------------------------------------
+// LZ77 sequence execution (host path)
+// ---------------------------------------------------------------------------
+// Executes sequences into `out` (caller-allocated, capacity out_cap).
+// Arrays ll/ml/offset have n entries; offsets are fully resolved (no
+// repcodes). dict/dict_len serve matches reaching before the frame start.
+// Returns bytes written, or -1 on any bounds violation.
+
+int64_t zt_execute_sequences(const int32_t* ll, const int32_t* ml,
+                             const int32_t* offset, int64_t n,
+                             const uint8_t* literals, int64_t lit_len,
+                             const uint8_t* dict, int64_t dict_len,
+                             uint8_t* out, int64_t out_cap) {
+    int64_t op = 0;   // output cursor
+    int64_t lp = 0;   // literal cursor
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = ll[i], m = ml[i];
+        int64_t off = offset[i];
+        if (l < 0 || m < 0 || lp + l > lit_len || op + l + m > out_cap)
+            return -1;
+        memcpy(out + op, literals + lp, (size_t)l);
+        op += l;
+        lp += l;
+        if (m == 0) continue;
+        if (off <= 0) return -1;
+        int64_t src = op - off;
+        if (src < 0) {
+            // serve from dictionary content
+            int64_t gap = -src;
+            if (gap > dict_len) return -1;
+            int64_t take = gap < m ? gap : m;
+            memcpy(out + op, dict + dict_len - gap, (size_t)take);
+            op += take;
+            m -= take;
+            src = 0;
+        }
+        // overlap-safe chunked copy (offset-periodic fill)
+        while (m > 0) {
+            int64_t chunk = off < m ? off : m;
+            memcpy(out + op, out + op - off, (size_t)chunk);
+            op += chunk;
+            m -= chunk;
+        }
+    }
+    if (lp < lit_len) {
+        if (op + (lit_len - lp) > out_cap) return -1;
+        memcpy(out + op, literals + lp, (size_t)(lit_len - lp));
+        op += lit_len - lp;
+    }
+    return op;
+}
+
+// ---------------------------------------------------------------------------
+// Frame boundary scan (batch splitter hot path)
+// ---------------------------------------------------------------------------
+// Writes up to max_frames (offset, length, kind) triples; kind 0 = zstd
+// frame, 1 = skippable. Returns count, or -(errpos+1) on malformed input.
+
+int64_t zt_scan_frames(const uint8_t* data, int64_t len,
+                       int64_t* offsets, int64_t* lengths, int32_t* kinds,
+                       int64_t max_frames) {
+    int64_t pos = 0;
+    int64_t count = 0;
+    while (pos < len && count < max_frames) {
+        if (len - pos < 4) return -(pos + 1);
+        uint32_t magic = (uint32_t)rd32(data + pos);
+        int64_t start = pos;
+        if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {
+            if (len - pos < 8) return -(pos + 1);
+            uint32_t sz = (uint32_t)rd32(data + pos + 4);
+            pos += 8 + sz;
+            if (pos > len) return -(start + 1);
+            offsets[count] = start;
+            lengths[count] = pos - start;
+            kinds[count] = 1;
+            count++;
+            continue;
+        }
+        if (magic != 0xFD2FB528u) return -(pos + 1);
+        pos += 4;
+        if (pos >= len) return -(start + 1);
+        uint8_t desc = data[pos++];
+        int fcs_flag = desc >> 6;
+        int single = (desc >> 5) & 1;
+        int checksum = (desc >> 2) & 1;
+        int did = desc & 3;
+        if (!single) pos += 1;  // window descriptor
+        static const int did_len[4] = {0, 1, 2, 4};
+        pos += did_len[did];
+        static const int fcs_len[4] = {0, 2, 4, 8};
+        pos += single && fcs_flag == 0 ? 1 : fcs_len[fcs_flag];
+        // walk blocks
+        for (;;) {
+            if (pos + 3 > len) return -(start + 1);
+            uint32_t bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16);
+            pos += 3;
+            int last = bh & 1;
+            int btype = (bh >> 1) & 3;
+            uint32_t bsize = bh >> 3;
+            if (btype == 3) return -(start + 1);
+            pos += (btype == 1) ? 1 : bsize;
+            if (pos > len) return -(start + 1);
+            if (last) break;
+        }
+        if (checksum) pos += 4;
+        if (pos > len) return -(start + 1);
+        offsets[count] = start;
+        lengths[count] = pos - start;
+        kinds[count] = 0;
+        count++;
+    }
+    return count;
+}
+
+}  // extern "C"

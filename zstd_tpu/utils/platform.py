@@ -1,0 +1,29 @@
+"""Platform selection helpers.
+
+The deployment image's sitecustomize imports jax at interpreter start with
+the axon (tunneled TPU) backend pre-registered, which makes JAX_PLATFORMS
+env overrides ineffective. These helpers switch backends through jax.config,
+which still works post-import as long as no backend has been used yet.
+"""
+
+import os
+
+
+def force_cpu(n_virtual_devices: int = 8) -> None:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_virtual_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def tpu_available() -> bool:
+    import jax
+
+    try:
+        return any(d.platform != "cpu" for d in jax.devices())
+    except RuntimeError:
+        return False

@@ -44,13 +44,20 @@ def _fast_xxh64(data: bytes) -> int:
     return _py_xxh64(data)
 
 
-def _pow2(n: int, lo: int = 16) -> int:
-    return max(lo, 1 << max(int(n) - 1, 0).bit_length())
+def _pow2(n: int, lo: int = 16, q: int = 1) -> int:
+    """Round up to 2^(q*ceil(log2(n)/q)): q=1 powers of two, q=2 powers of 4.
+
+    Coarser quanta trade padding (≤2^(q-1)×) for far fewer compiled shapes —
+    the tunnel's remote compiles are ~a minute each.
+    """
+    e = max(int(n) - 1, 0).bit_length()
+    e = ((e + q - 1) // q) * q
+    return max(lo, 1 << e)
 
 
-def _buckets(widths, counts, max_area: int):
-    """Group lane indices by (pow2 width, pow2 count), splitting at max_area."""
-    keys = [(_pow2(w), _pow2(c, lo=4)) for w, c in zip(widths, counts)]
+def _buckets(widths, counts, max_area: int, q: int = 2):
+    """Group lane indices by (quantized width, count), splitting at max_area."""
+    keys = [(_pow2(w, q=q), _pow2(c, lo=4, q=q)) for w, c in zip(widths, counts)]
     order = sorted(range(len(keys)), key=lambda i: keys[i])
     out = []
     cur, cur_key = [], None
@@ -65,9 +72,19 @@ def _buckets(widths, counts, max_area: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_symbols",))
-def _huff_bucket(streams, pos, tid, tables, maxbits, nsym, dst_frame,
-                 dst_off, lit_full, frame_ok, max_symbols: int):
+@functools.partial(jax.jit, static_argnames=("width", "max_symbols"))
+def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
+                 nsym_full, dst_frame_full, dst_off_full, idx, lit_full,
+                 frame_ok, width: int, max_symbols: int):
+    # gather this bucket's lanes on device (idx rows, first `width` cols)
+    cols = jnp.arange(width, dtype=jnp.int32)
+    streams = streams_full[idx[:, None], cols[None, :]]
+    pos = pos_full[idx]
+    tid = tid_full[idx]
+    nsym = nsym_full[idx]
+    dst_frame = dst_frame_full[idx]
+    dst_off = dst_off_full[idx]
+
     lits, ok = decode_huffman_lanes(streams, pos, tid, tables, maxbits,
                                     nsym, max_symbols)
     lit_w = lit_full.shape[1]
@@ -79,11 +96,25 @@ def _huff_bucket(streams, pos, tid, tables, maxbits, nsym, dst_frame,
     return lit_full, frame_ok
 
 
-@functools.partial(jax.jit, static_argnames=("max_seqs",))
-def _seq_bucket(streams, pos, n, ll_tid, of_tid, ml_tid, ll_tables,
-                of_tables, ml_tables, ll_logs, of_logs, ml_logs,
-                dst_frame, dst_off, lit_total, trail_slot,
-                ll_full, ml_full, of_full, frame_ok, max_seqs: int):
+@functools.partial(jax.jit, static_argnames=("width", "max_seqs"))
+def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
+                ml_tid_full, ll_tables, of_tables, ml_tables, ll_logs,
+                of_logs, ml_logs, dst_frame_full, dst_off_full,
+                lit_total_full, trail_slot_full, idx,
+                ll_full, ml_full, of_full, frame_ok,
+                width: int, max_seqs: int):
+    cols = jnp.arange(width, dtype=jnp.int32)
+    streams = streams_full[idx[:, None], cols[None, :]]
+    pos = pos_full[idx]
+    n = n_full[idx]
+    ll_tid = ll_tid_full[idx]
+    of_tid = of_tid_full[idx]
+    ml_tid = ml_tid_full[idx]
+    dst_frame = dst_frame_full[idx]
+    dst_off = dst_off_full[idx]
+    lit_total = lit_total_full[idx]
+    trail_slot = trail_slot_full[idx]
+
     ll_l, ml_l, of_l, ok = decode_sequence_lanes(
         streams, pos, n, ll_tid, of_tid, ml_tid, ll_tables, of_tables,
         ml_tables, ll_logs, of_logs, ml_logs, max_seqs)
@@ -110,6 +141,20 @@ def _resolve(ll_full, ml_full, of_full, is_real, init_hist):
     return offsets, out_len, ok
 
 
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def _exec_bucket(ll_full, ml_full, offsets, lit_full, out_len, idx,
+                 out_width: int):
+    return execute_sequences_lanes(
+        ll_full[idx], ml_full[idx], offsets[idx], lit_full[idx],
+        out_len[idx], out_width)
+
+
+def _pad_idx(rows, inert: int) -> np.ndarray:
+    """Pad a bucket's row indices (quantized count) with the inert lane."""
+    n = _pow2(len(rows), lo=4, q=2) if rows else 4
+    return np.asarray(rows + [inert] * (n - len(rows)), np.int32)
+
+
 class BatchDecoder:
     """Decode many independent frames data-parallel on the device."""
 
@@ -124,79 +169,101 @@ class BatchDecoder:
             framer.add_frame(bytes(f), i)
         return framer.build()
 
-    def run_device(self, batch: DeviceBatch):
-        """Full device decode. Returns (list of np.uint8 rows, out_len, ok)."""
+    def stage(self, batch: DeviceBatch) -> dict:
+        """Upload all batch arrays to device once; returns the staged dict.
+
+        Also precomputes the bucket plans so repeated runs (serving) only
+        ship tiny index arrays per call.
+        """
+        dev = {}
+        for name in ("huff_streams", "huff_pos", "huff_tid", "huff_tables",
+                     "huff_maxbits", "huff_nsym", "huff_dst_frame",
+                     "huff_dst_off", "seq_streams", "seq_pos", "seq_n",
+                     "ll_tid", "of_tid", "ml_tid", "ll_tables", "of_tables",
+                     "ml_tables", "ll_logs", "of_logs", "ml_logs",
+                     "seq_dst_frame", "seq_dst_off", "seq_lit_total",
+                     "seq_trail_slot", "lit_base", "ll_base", "ml_base",
+                     "of_base", "is_real"):
+            dev[name] = jnp.asarray(getattr(batch, name))
         Bf = batch.lit_base.shape[0]
-        lit_full = jnp.asarray(batch.lit_base)
+        dev["init_hist"] = jnp.asarray(
+            np.tile(np.array([1, 4, 8], np.int32), (Bf, 1)))
+
+        huff_inert = batch.huff_streams.shape[0] - 1  # the +1 inert row
+        seq_inert = batch.seq_streams.shape[0] - 1
+        live = [i for i in range(huff_inert) if batch.huff_nsym[i] > 0]
+        dev["huff_plan"] = [
+            ((w, c), _pad_idx([live[r] for r in rows], huff_inert))
+            for (w, c), rows in _buckets(
+                [int(batch.huff_len[i]) for i in live],
+                [int(batch.huff_nsym[i]) for i in live],
+                self.max_bucket_elems)]
+        live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
+        dev["seq_plan"] = [
+            ((w, c), _pad_idx([live[r] for r in rows], seq_inert))
+            for (w, c), rows in _buckets(
+                [int(batch.seq_len[i]) for i in live],
+                [int(batch.seq_n[i]) for i in live],
+                self.max_bucket_elems)]
+        return dev
+
+    def run_device(self, batch: DeviceBatch, staged: dict | None = None,
+                   pull_outputs: bool = True):
+        """Full device decode. Returns (list of np.uint8 rows, out_len, ok).
+
+        pull_outputs=False leaves the decoded bytes device-resident (device
+        consumers / throughput measurement) and only syncs completion."""
+        d = staged if staged is not None else self.stage(batch)
+        Bf = batch.lit_base.shape[0]
+        frame_inert = Bf - 1
+        lit_full = d["lit_base"]
         frame_ok = jnp.ones(Bf, bool)
-        huff_tables = jnp.asarray(batch.huff_tables)
-        huff_maxbits = jnp.asarray(batch.huff_maxbits)
 
-        # --- stage 1a: huffman lanes, bucketed -------------------------------
-        live = [i for i in range(batch.huff_streams.shape[0])
-                if batch.huff_nsym[i] > 0]
-        widths = [int(batch.huff_len[i]) for i in live]
-        counts = [int(batch.huff_nsym[i]) for i in live]
-        for (w, c), rows in _buckets(widths, counts, self.max_bucket_elems):
-            idx = np.asarray([live[r] for r in rows], np.int32)
+        # --- stage 1a: huffman lanes, bucketed --------------------------------
+        for (w, c), idx in d["huff_plan"]:
             lit_full, frame_ok = _huff_bucket(
-                jnp.asarray(batch.huff_streams[idx, :w]),
-                jnp.asarray(batch.huff_pos[idx]),
-                jnp.asarray(batch.huff_tid[idx]),
-                huff_tables, huff_maxbits,
-                jnp.asarray(batch.huff_nsym[idx]),
-                jnp.asarray(batch.huff_dst_frame[idx]),
-                jnp.asarray(batch.huff_dst_off[idx]),
-                lit_full, frame_ok, max_symbols=c)
+                d["huff_streams"], d["huff_pos"], d["huff_tid"],
+                d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
+                d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
+                lit_full, frame_ok, width=w, max_symbols=c)
 
-        # --- stage 1b: sequence lanes, bucketed -------------------------------
-        ll_full = jnp.asarray(batch.ll_base)
-        ml_full = jnp.asarray(batch.ml_base)
-        of_full = jnp.asarray(batch.of_base)
-        lt = [jnp.asarray(batch.ll_tables), jnp.asarray(batch.of_tables),
-              jnp.asarray(batch.ml_tables), jnp.asarray(batch.ll_logs),
-              jnp.asarray(batch.of_logs), jnp.asarray(batch.ml_logs)]
-        live = [i for i in range(batch.seq_streams.shape[0])
-                if batch.seq_n[i] > 0]
-        widths = [int(batch.seq_len[i]) for i in live]
-        counts = [int(batch.seq_n[i]) for i in live]
-        for (w, c), rows in _buckets(widths, counts, self.max_bucket_elems):
-            idx = np.asarray([live[r] for r in rows], np.int32)
+        # --- stage 1b: sequence lanes, bucketed --------------------------------
+        ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
+        for (w, c), idx in d["seq_plan"]:
             ll_full, ml_full, of_full, frame_ok = _seq_bucket(
-                jnp.asarray(batch.seq_streams[idx, :w]),
-                jnp.asarray(batch.seq_pos[idx]),
-                jnp.asarray(batch.seq_n[idx]),
-                jnp.asarray(batch.ll_tid[idx]), jnp.asarray(batch.of_tid[idx]),
-                jnp.asarray(batch.ml_tid[idx]), *lt,
-                jnp.asarray(batch.seq_dst_frame[idx]),
-                jnp.asarray(batch.seq_dst_off[idx]),
-                jnp.asarray(batch.seq_lit_total[idx]),
-                jnp.asarray(batch.seq_trail_slot[idx]),
-                ll_full, ml_full, of_full, frame_ok, max_seqs=c)
+                d["seq_streams"], d["seq_pos"], d["seq_n"], d["ll_tid"],
+                d["of_tid"], d["ml_tid"], d["ll_tables"], d["of_tables"],
+                d["ml_tables"], d["ll_logs"], d["of_logs"], d["ml_logs"],
+                d["seq_dst_frame"], d["seq_dst_off"], d["seq_lit_total"],
+                d["seq_trail_slot"], jnp.asarray(idx),
+                ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c)
 
-        # --- stage 2: offsets + exact lengths ---------------------------------
-        init_hist = np.tile(np.array([1, 4, 8], np.int32), (Bf, 1))
+        # --- stage 2: offsets + exact lengths ----------------------------------
         offsets, out_len, res_ok = _resolve(
-            ll_full, ml_full, of_full, jnp.asarray(batch.is_real),
-            jnp.asarray(init_hist))
+            ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
         out_len_h = np.asarray(out_len)
         ok_h = np.asarray(frame_ok & res_ok).copy()
 
-        # --- stage 3: execution, bucketed by real output size -----------------
+        # --- stage 3: execution, bucketed by real output size ------------------
         outputs = [None] * Bf
+        live = list(range(frame_inert))  # skip the inert frame row
         for (w, _), rows in _buckets(
-                [max(int(x), 1) for x in out_len_h], [1] * Bf,
+                [max(int(out_len_h[i]), 1) for i in live], [1] * len(live),
                 self.max_bucket_elems):
-            idx = jnp.asarray(np.asarray(rows, np.int32))
-            out_b, exec_ok = execute_sequences_lanes(
-                ll_full[idx], ml_full[idx], offsets[idx], lit_full[idx],
-                out_len[idx], w)
-            out_b = np.asarray(out_b)
-            exec_ok = np.asarray(exec_ok)
+            idx = _pad_idx([live[r] for r in rows], frame_inert)
+            out_b, exec_ok = _exec_bucket(
+                ll_full, ml_full, offsets, lit_full, out_len,
+                jnp.asarray(idx), out_width=w)
+            if pull_outputs:
+                out_b = np.asarray(out_b)
+                exec_ok = np.asarray(exec_ok)
+            else:
+                jax.block_until_ready(out_b)
+                exec_ok = np.asarray(exec_ok)
             for r, row in enumerate(rows):
-                outputs[row] = out_b[r]
-                ok_h[row] &= exec_ok[r]
-        return outputs, out_len_h, ok_h
+                outputs[live[row]] = out_b[r]
+                ok_h[live[row]] &= exec_ok[r]
+        return outputs[:frame_inert], out_len_h[:frame_inert], ok_h[:frame_inert]
 
     def decode_frames(self, frames: list) -> list:
         """Returns decoded bytes per frame (device path, host oracle fallback)."""

@@ -1,0 +1,308 @@
+"""Batched TPU-assisted frame encoder.
+
+Mirrors the host FrameCompressor (Fastest level) with the bit-production on
+device, batched across all blocks of all frames:
+
+  host: block split, greedy match generation, histogramming, table builds
+        (tiny, irregular), section/frame assembly
+  device: Huffman literal encoding for every (block, stream) lane — a pure
+        gather + prefix-sum + scatter bit-pack, no sequential state — and
+        the interleaved 3-state FSE sequence encoding scan per block lane
+
+The output is byte-identical to the host encoder (same tables, same greedy
+matcher), so every host-encoder gate (libzstd decode interop, no-expansion)
+transfers; tests assert equality outright.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from zstd_tpu.common import constants as C
+from zstd_tpu.common.config import CodecConfig, CompressionLevel
+from zstd_tpu.common.errors import EncodeError
+from zstd_tpu.encoding import fse_enc, huff0_enc
+from zstd_tpu.encoding.block_enc import (
+    _lit_header, _lit_header_byte, _lit_header_compressed, _mode_and_table,
+    _seqnum_varint, ll_code, ml_code, of_code_of)
+from zstd_tpu.encoding.frame_enc import _block_header, _frame_header, BLOCK_SIZE
+from zstd_tpu.encoding.match_gen import find_sequences
+from zstd_tpu.ops.bitpack import finalize_streams, pack_bits_lanes
+from zstd_tpu.ops.fse_encode import encode_sequence_lanes, pack_encode_table
+from zstd_tpu.utils.bitio import BitWriter
+from zstd_tpu.utils.xxhash64 import Xxh64
+
+
+@dataclasses.dataclass
+class _HuffLane:
+    codes: np.ndarray    # (n,) u32 per-literal code values (reverse order)
+    nbits: np.ndarray    # (n,) i32
+
+
+@dataclasses.dataclass
+class _SeqLane:
+    triples: list
+    tables: tuple        # (ll_table|None, of_table|None, ml_table|None) None=RLE
+    logs: tuple
+
+
+class BatchEncoder:
+    """Compress many payloads, device-batched entropy coding."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+
+    def compress_frames(self, payloads: list) -> list:
+        level = self.config.level
+        if level == CompressionLevel.UNCOMPRESSED:
+            from zstd_tpu.encoding.frame_enc import compress_to_vec
+
+            return [compress_to_vec(p, level) for p in payloads]
+        if level != CompressionLevel.FASTEST:
+            raise NotImplementedError(f"level {level.name} not implemented")
+
+        # ---- host pass: plan every block -----------------------------------
+        plans = []   # per frame: list of block plans
+        huff_lanes: list[_HuffLane] = []
+        seq_lanes: list[_SeqLane] = []
+        for p in payloads:
+            plans.append(self._plan_frame(bytes(p), huff_lanes, seq_lanes))
+
+        huff_streams = self._encode_huff_lanes(huff_lanes)
+        seq_streams = self._encode_seq_lanes(seq_lanes)
+
+        # ---- host pass: assemble frames ------------------------------------
+        out = []
+        for p, frame_plan in zip(payloads, plans):
+            out.append(self._assemble_frame(bytes(p), frame_plan,
+                                            huff_streams, seq_streams))
+        return out
+
+    # ------------------------------------------------------------------ plan
+
+    def _plan_frame(self, payload: bytes, huff_lanes, seq_lanes):
+        blocks = []
+        if len(payload) == 0:
+            return [("empty",)]
+        for off in range(0, len(payload), BLOCK_SIZE):
+            block = payload[off:off + BLOCK_SIZE]
+            if block.count(block[0]) == len(block):
+                blocks.append(("rle", block[0], len(block)))
+                continue
+            plan = self._plan_compressed_block(block, huff_lanes, seq_lanes)
+            blocks.append(plan if plan is not None else ("raw", block))
+        return blocks
+
+    def _plan_compressed_block(self, block, huff_lanes, seq_lanes):
+        seqs = find_sequences(block)
+        lits = b"".join(s.literals for s in seqs)
+
+        # literals representation
+        lit_plan = None
+        n = len(lits)
+        if n == 0:
+            lit_plan = ("rawlit", b"")
+        elif lits.count(lits[0]) == n:
+            lit_plan = ("rlelit", lits[0], n)
+        elif n > 63:
+            counts = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
+            try:
+                table = huff0_enc.build_from_counts(counts)
+                tw = BitWriter()
+                huff0_enc.write_table_description(table, tw)
+                desc = tw.dump()
+                four = n >= 256
+                lanes = []
+                if four:
+                    split = (n + 3) // 4
+                    parts = [lits[i * split:(i + 1) * split] for i in range(3)]
+                    parts.append(lits[3 * split:])
+                else:
+                    parts = [lits]
+                for part in parts:
+                    rev = np.frombuffer(part, np.uint8)[::-1]
+                    lanes.append(len(huff_lanes))
+                    huff_lanes.append(_HuffLane(
+                        codes=table.codes[rev].astype(np.uint32),
+                        nbits=table.lengths[rev].astype(np.int32)))
+                lit_plan = ("huff", n, desc, four, lanes, lits)
+            except EncodeError:
+                lit_plan = None
+        if lit_plan is None:
+            lit_plan = ("rawlit", lits)
+
+        # sequences representation
+        triples = [(len(s.literals), s.match_len, s.offset + 3)
+                   for s in seqs if s.match_len > 0]
+        if triples:
+            llc = [ll_code(a) for a, _, _ in triples]
+            mlc = [ml_code(m) for _, m, _ in triples]
+            ofc = [of_code_of(o) for _, _, o in triples]
+            tw = BitWriter()
+            ll_mode, ll_t = _mode_and_table(llc, C.LL_MAX_LOG, tw)
+            of_mode, of_t = _mode_and_table(ofc, C.OF_MAX_LOG, tw)
+            ml_mode, ml_t = _mode_and_table(mlc, C.ML_MAX_LOG, tw)
+            lane_id = len(seq_lanes)
+            seq_lanes.append(_SeqLane(
+                triples=triples,
+                tables=(None if ll_mode == C.MODE_RLE else ll_t,
+                        None if of_mode == C.MODE_RLE else of_t,
+                        None if ml_mode == C.MODE_RLE else ml_t),
+                logs=(0 if ll_mode == C.MODE_RLE else ll_t.table_log,
+                      0 if of_mode == C.MODE_RLE else of_t.table_log,
+                      0 if ml_mode == C.MODE_RLE else ml_t.table_log)))
+            seq_plan = ("seqs", len(triples),
+                        (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2),
+                        tw.dump(), lane_id)
+        else:
+            seq_plan = ("noseq",)
+        return ("compressed", block, lit_plan, seq_plan)
+
+    # -------------------------------------------------------------- device
+
+    def _encode_huff_lanes(self, lanes) -> list:
+        if not lanes:
+            return []
+        B = len(lanes)
+        N = max(1, 1 << (max(len(l.codes) for l in lanes) - 1).bit_length())
+        vals = np.zeros((B, N), np.uint32)
+        nbs = np.zeros((B, N), np.int32)
+        for i, l in enumerate(lanes):
+            vals[i, :len(l.codes)] = l.codes
+            nbs[i, :len(l.codes)] = l.nbits
+        out_words = (N * 11 + 64) // 32 + 2
+        words, total = pack_bits_lanes(jnp.asarray(vals), jnp.asarray(nbs),
+                                       out_words)
+        return finalize_streams(words, total)
+
+    def _encode_seq_lanes(self, lanes) -> list:
+        if not lanes:
+            return []
+        B = len(lanes)
+        S = max(1, 1 << (max(len(l.triples) for l in lanes) - 1).bit_length())
+        llv = np.zeros((B, S), np.int32)
+        mlv = np.zeros((B, S), np.int32)
+        ofv = np.zeros((B, S), np.int32)
+        nseq = np.zeros(B, np.int32)
+        ll_ns = np.zeros((B, 512), np.uint16)
+        ml_ns = np.zeros((B, 512), np.uint16)
+        of_ns = np.zeros((B, 256), np.uint16)
+        ll_nb = np.zeros((B, 256), np.uint32)
+        ml_nb = np.zeros((B, 256), np.uint32)
+        of_nb = np.zeros((B, 256), np.uint32)
+        ll_fs = np.zeros((B, 256), np.int32)
+        ml_fs = np.zeros((B, 256), np.int32)
+        of_fs = np.zeros((B, 256), np.int32)
+        logs = np.zeros((B, 3), np.int32)
+        for i, l in enumerate(lanes):
+            nseq[i] = len(l.triples)
+            for j, (a, m, o) in enumerate(l.triples):
+                llv[i, j], mlv[i, j], ofv[i, j] = a, m, o
+            ll_t, of_t, ml_t = l.tables
+            logs[i] = l.logs[0], l.logs[2], l.logs[1]  # store ll, ml, of
+            for t, ns, nb, fs, width in (
+                    (ll_t, ll_ns, ll_nb, ll_fs, 512),
+                    (ml_t, ml_ns, ml_nb, ml_fs, 512),
+                    (of_t, of_ns, of_nb, of_fs, 256)):
+                if t is None:
+                    continue  # RLE: zero-width runs, tables unused
+                a, b, c = pack_encode_table(t, width)
+                ns[i], nb[i], fs[i] = a, b, c
+        tid = np.arange(B, dtype=np.int32)
+        vals, nbs = encode_sequence_lanes(
+            jnp.asarray(llv), jnp.asarray(mlv), jnp.asarray(ofv),
+            jnp.asarray(nseq),
+            jnp.asarray(ll_ns), jnp.asarray(ml_ns), jnp.asarray(of_ns),
+            jnp.asarray(ll_nb), jnp.asarray(ml_nb), jnp.asarray(of_nb),
+            jnp.asarray(ll_fs), jnp.asarray(ml_fs), jnp.asarray(of_fs),
+            jnp.asarray(tid), jnp.asarray(tid), jnp.asarray(tid),
+            jnp.asarray(logs[:, 0]), jnp.asarray(logs[:, 1]),
+            jnp.asarray(logs[:, 2]), S)
+        out_words = (6 * S + 6) * 32 // 32 + 4
+        words, total = pack_bits_lanes(vals, nbs, out_words)
+        return finalize_streams(words, total)
+
+    # ------------------------------------------------------------- assemble
+
+    def _assemble_frame(self, payload, frame_plan, huff_streams, seq_streams):
+        cfg = self.config
+        out = bytearray(_frame_header(cfg.window_log, cfg.write_checksum))
+        hasher = Xxh64() if cfg.write_checksum else None
+        if hasher is not None:
+            hasher.update(payload)
+        nblocks = len(frame_plan)
+        for bi, plan in enumerate(frame_plan):
+            last = bi == nblocks - 1
+            kind = plan[0]
+            if kind == "empty":
+                out += _block_header(True, C.BLOCK_RAW, 0)
+            elif kind == "rle":
+                _, byte, n = plan
+                out += _block_header(last, C.BLOCK_RLE, n)
+                out.append(byte)
+            elif kind == "raw":
+                out += _block_header(last, C.BLOCK_RAW, len(plan[1]))
+                out += plan[1]
+            else:
+                _, block, lit_plan, seq_plan = plan
+                content = self._assemble_block(lit_plan, seq_plan,
+                                               huff_streams, seq_streams)
+                if content is None or len(content) >= len(block):
+                    out += _block_header(last, C.BLOCK_RAW, len(block))
+                    out += block
+                else:
+                    out += _block_header(last, C.BLOCK_COMPRESSED, len(content))
+                    out += content
+        if hasher is not None:
+            out += (hasher.digest() & 0xFFFFFFFF).to_bytes(4, "little")
+        return bytes(out)
+
+    def _assemble_block(self, lit_plan, seq_plan, huff_streams, seq_streams):
+        out = bytearray()
+        kind = lit_plan[0]
+        if kind == "rawlit":
+            lits = lit_plan[1]
+            out += _lit_header(C.LIT_RAW, len(lits)) if lits else bytes(
+                [_lit_header_byte(C.LIT_RAW, 0)])
+            out += lits
+        elif kind == "rlelit":
+            _, byte, n = lit_plan
+            out += _lit_header(C.LIT_RLE, n)
+            out.append(byte)
+        else:
+            _, n, desc, four, lanes, lits = lit_plan
+            blobs = [huff_streams[i] for i in lanes]
+            payload = None
+            if four:
+                if all(len(b) <= 0xFFFF for b in blobs[:3]):
+                    payload = b"".join(len(b).to_bytes(2, "little")
+                                       for b in blobs[:3]) + b"".join(blobs)
+            else:
+                payload = blobs[0]
+            header = None
+            if payload is not None:
+                comp = len(desc) + len(payload)
+                header = _lit_header_compressed(C.LIT_COMPRESSED, n, comp, four)
+                raw_cost = len(_lit_header(C.LIT_RAW, n)) + n
+                if header is not None and len(header) + comp >= raw_cost:
+                    header = None
+            if header is not None:
+                out += header + desc + payload
+            else:
+                # huffman did not pay: raw literals inside the compressed
+                # block, mirroring encode_literals_section's rollback
+                out += _lit_header(C.LIT_RAW, n)
+                out += lits
+
+        if seq_plan[0] == "noseq":
+            out += _seqnum_varint(0)
+            return bytes(out)
+        _, nseq, mode_byte, table_bytes, lane_id = seq_plan
+        out += _seqnum_varint(nseq)
+        out.append(mode_byte)
+        out += table_bytes
+        out += seq_streams[lane_id]
+        return bytes(out)
+

@@ -354,7 +354,8 @@ class Framer:
     # ---- batch assembly ------------------------------------------------------
 
     def build(self) -> DeviceBatch:
-        Bf = max(len(self.frames), 1)
+        # +1 inert frame row: execution-bucket padding gathers point at it
+        Bf = len(self.frames) + 1
         lit_w = _round_pow2(max((f["lit_cursor"] for f in self.frames), default=1))
         seq_w = _round_pow2(max((f["seq_cursor"] for f in self.frames), default=1), lo=4)
         bounds = [f["fcs"] if f["fcs"] is not None else f["out_bound"]
@@ -376,8 +377,8 @@ class Framer:
                 of_base[i, slot] = of
             out_len[i] = f["fcs"] if f["fcs"] is not None else f["out_bound"]
 
-        # huffman lanes
-        Bs = max(len(self.huff_lanes), 1)
+        # huffman lanes (+1 inert row: bucket padding gathers point at it)
+        Bs = len(self.huff_lanes) + 1
         hs_w = _round_pow2(max((len(h["stream"]) for h in self.huff_lanes), default=1))
         max_sym = _round_pow2(max((h["nsym"] for h in self.huff_lanes), default=1))
         huff_streams = np.zeros((Bs, hs_w), np.uint8)
@@ -396,8 +397,8 @@ class Framer:
             huff_dst_frame[i] = h["frame"]
             huff_dst_off[i] = h["dst"]
 
-        # sequence lanes
-        Bb = max(len(self.seq_lanes), 1)
+        # sequence lanes (+1 inert row for bucket padding)
+        Bb = len(self.seq_lanes) + 1
         ss_w = _round_pow2(max((len(s["stream"]) for s in self.seq_lanes), default=1))
         max_seqs = _round_pow2(max((s["n"] for s in self.seq_lanes), default=1), lo=4)
         seq_streams = np.zeros((Bb, ss_w), np.uint8)

@@ -9,6 +9,18 @@ which still works post-import as long as no backend has been used yet.
 import os
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache — the tunnel's remote compiles cost
+    ~a minute per shape, so caching across processes matters."""
+    import jax
+
+    cache = path or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def force_cpu(n_virtual_devices: int = 8) -> None:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -203,10 +203,10 @@ def _add_extra_bits(w: BitWriter, triple, llc: int, mlc: int, ofc: int) -> None:
     w.write_bits(of - (1 << ofc), ofc)
 
 
-def compress_block(block: bytes) -> bytes | None:
+def compress_block(block: bytes, matcher=None) -> bytes | None:
     """Produce compressed-block content, or None when it does not pay
     (caller falls back to a Raw block — levels/fastest.rs:49-57)."""
-    seqs = find_sequences(block)
+    seqs = matcher.find(block) if matcher is not None else find_sequences(block)
     lits = b"".join(s.literals for s in seqs)
     out = bytearray()
     encode_literals_section(lits, out)

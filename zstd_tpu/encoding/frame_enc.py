@@ -49,12 +49,16 @@ class FrameCompressor:
         self.config = config or CodecConfig()
         self.source = None
         self.drain = None
+        self.matcher = None  # pluggable Matcher (encoding/mod.rs:84-119 parity)
 
     def set_source(self, source) -> None:
         self.source = source
 
     def set_drain(self, drain) -> None:
         self.drain = drain
+
+    def replace_matcher(self, matcher) -> None:
+        self.matcher = matcher
 
     def set_compression_level(self, level: CompressionLevel) -> None:
         self.config = CodecConfig(**{**self.config.__dict__, "level": level})
@@ -68,8 +72,12 @@ class FrameCompressor:
             raise NotImplementedError(
                 f"compression level {level.name} not implemented "
                 "(reference parity: frame_compressor.rs:200-204)")
+        if self.matcher is not None:
+            self.matcher.reset(level)
         hasher = Xxh64() if cfg.write_checksum else None
-        self.drain.write(_frame_header(cfg.window_log, cfg.write_checksum))
+        window_log = (self.matcher.window_size().bit_length() - 1
+                      if self.matcher is not None else cfg.window_log)
+        self.drain.write(_frame_header(window_log, cfg.write_checksum))
 
         first = True
         while True:
@@ -105,7 +113,7 @@ class FrameCompressor:
             drain.write(_block_header(last, C.BLOCK_RLE, len(block)))
             drain.write(block[0:1])
             return
-        compressed = compress_block(block)
+        compressed = compress_block(block, self.matcher)
         if compressed is not None and len(compressed) < len(block):
             drain.write(_block_header(last, C.BLOCK_COMPRESSED, len(compressed)))
             drain.write(compressed)

@@ -213,14 +213,20 @@ class BatchDecoder:
 
         pull_outputs=False leaves the decoded bytes device-resident (device
         consumers / throughput measurement) and only syncs completion."""
+        from zstd_tpu.common.trace import scope, vprint
+
         d = staged if staged is not None else self.stage(batch)
         Bf = batch.lit_base.shape[0]
         frame_inert = Bf - 1
         lit_full = d["lit_base"]
         frame_ok = jnp.ones(Bf, bool)
+        vprint(f"run_device: {Bf - 1} frames, "
+               f"{len(d['huff_plan'])} huffman buckets, "
+               f"{len(d['seq_plan'])} sequence buckets")
 
         # --- stage 1a: huffman lanes, bucketed --------------------------------
         for (w, c), idx in d["huff_plan"]:
+          with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
                 d["huff_streams"], d["huff_pos"], d["huff_tid"],
                 d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
@@ -230,6 +236,7 @@ class BatchDecoder:
         # --- stage 1b: sequence lanes, bucketed --------------------------------
         ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
         for (w, c), idx in d["seq_plan"]:
+          with scope(f"sequence_decode_{w}x{c}"):
             ll_full, ml_full, of_full, frame_ok = _seq_bucket(
                 d["seq_streams"], d["seq_pos"], d["seq_n"], d["ll_tid"],
                 d["of_tid"], d["ml_tid"], d["ll_tables"], d["of_tables"],
@@ -239,8 +246,9 @@ class BatchDecoder:
                 ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
-        offsets, out_len, res_ok = _resolve(
-            ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
+        with scope("offset_resolution"):
+            offsets, out_len, res_ok = _resolve(
+                ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
         out_len_h = np.asarray(out_len)
         ok_h = np.asarray(frame_ok & res_ok).copy()
 
@@ -251,9 +259,10 @@ class BatchDecoder:
                 [max(int(out_len_h[i]), 1) for i in live], [1] * len(live),
                 self.max_bucket_elems):
             idx = _pad_idx([live[r] for r in rows], frame_inert)
-            out_b, exec_ok = _exec_bucket(
-                ll_full, ml_full, offsets, lit_full, out_len,
-                jnp.asarray(idx), out_width=w)
+            with scope(f"lz77_execute_{w}"):
+                out_b, exec_ok = _exec_bucket(
+                    ll_full, ml_full, offsets, lit_full, out_len,
+                    jnp.asarray(idx), out_width=w)
             if pull_outputs:
                 out_b = np.asarray(out_b)
                 exec_ok = np.asarray(exec_ok)

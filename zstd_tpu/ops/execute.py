@@ -60,14 +60,37 @@ def execute_sequences_lanes(ll,        # (B, S) i32
     off_at = jnp.take_along_axis(offs_arr, jnp.maximum(governing, 0), axis=1)
 
     in_range = pos < out_len[:, None]
-    src = jnp.where(is_lit | ~in_range, pos, pos - off_at)
+    # Periodic-fill rewrite: a position whose naive source (p - offset) still
+    # lies inside its own match run resolves in closed form — the run copies
+    # a period-`offset` pattern, so the origin is
+    #   run_start - offset + ((p - run_start) mod offset).
+    # This removes every intra-match chain (RLE-style fills would otherwise
+    # need log2(run_length) doubling passes).
+    start_at = jnp.maximum(governing, 0)  # match-run start per position
+    naive = pos - off_at
+    periodic = start_at - off_at + ((pos - start_at) % jnp.maximum(off_at, 1))
+    src = jnp.where(naive >= start_at, periodic, naive)
+    src = jnp.where(is_lit | ~in_range, pos, src)
     ok = jnp.all((src >= 0) | ~in_range, axis=1)
     src = jnp.maximum(src, 0)
 
-    # --- pointer doubling ---------------------------------------------------
+    # --- pointer doubling with early exit -----------------------------------
+    # Intra-match chains are gone; remaining depth is the cross-match
+    # reference depth, typically small. Iterate src = src[src] until a
+    # fixpoint, bounded by log2(L).
     passes = max(1, (L - 1).bit_length())
-    for _ in range(passes):
-        src = jnp.take_along_axis(src, src, axis=1)
+
+    def cond(state):
+        i, src, done = state
+        return (i < passes) & ~done
+
+    def body(state):
+        i, src, _ = state
+        nxt = jnp.take_along_axis(src, src, axis=1)
+        done = jnp.all(nxt == src)
+        return i + 1, nxt, done
+
+    _, src, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), src, False))
 
     # --- origin must be a literal position; gather the byte ----------------
     lit_idx = jnp.cumsum(is_lit.astype(jnp.int32), axis=1) - 1

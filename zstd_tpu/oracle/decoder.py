@@ -324,6 +324,56 @@ class StreamingDecoder(io.RawIOBase):
         return self.decoder
 
 
+def decode_from_to(decoder: "FrameDecoder", source: bytes,
+                   target: bytearray | memoryview) -> tuple:
+    """Push-style decode (frame_decoder.rs:436-526 parity, C-API shaped):
+    consume as much of `source` as fits complete decode units, write decoded
+    bytes into `target`, and return (bytes_read, bytes_written). Partial
+    headers/blocks/checksums are never consumed — the caller re-presents the
+    unread suffix on the next call, exactly like the reference's re-read
+    gating (frame_decoder.rs:476-489, split-checksum handling :462-512)."""
+    buf = bytes(source)
+    pos = 0
+    written = 0
+    tv = memoryview(target)
+
+    if decoder.header is None or decoder.is_finished():
+        try:
+            src = io.BytesIO(buf)
+            decoder.init(src)
+            pos = src.tell()
+        except NotEnoughBytes:
+            return 0, 0
+
+    while not decoder._finished:
+        if pos + 3 > len(buf):
+            break
+        bh = blocks_mod.parse_block_header(buf[pos:pos + 3])
+        need = 3 + (1 if bh.block_type == constants.BLOCK_RLE else bh.block_size)
+        if bh.last_block and decoder.header.content_checksum:
+            need += 4
+        if pos + need > len(buf):
+            break
+        src = io.BytesIO(buf[pos:pos + need])
+        decoder.decode_blocks(src, BlockDecodingStrategy.UPTO_BLOCKS, amount=1)
+        pos += src.tell()
+        chunk = decoder.read(len(tv) - written)
+        tv[written:written + len(chunk)] = chunk
+        written += len(chunk)
+    if decoder._finished:
+        chunk = decoder.read(len(tv) - written)
+        tv[written:written + len(chunk)] = chunk
+        written += len(chunk)
+    return pos, written
+
+
+def decode_all_to_vec(data, config: CodecConfig | None = None,
+                      dicts: "list[Dictionary] | None" = None) -> bytes:
+    """Alias of decode_all returning a fresh buffer
+    (frame_decoder.rs:588-607)."""
+    return decode_all(data, config, dicts)
+
+
 def decode_frame(data, config: CodecConfig | None = None,
                  dictionary: Dictionary | None = None) -> bytes:
     """One-shot decode of a single frame from bytes; returns decoded content."""

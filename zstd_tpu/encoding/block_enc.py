@@ -19,6 +19,40 @@ from zstd_tpu.encoding.match_gen import RawSequence, find_sequences
 from zstd_tpu.utils.bitio import BitWriter
 
 
+def choose_offset_value(offset: int, ll: int, hist: list[int]) -> int:
+    """Pick the cheapest of_value for `offset` given the repeat-offset
+    history, mutating `hist` exactly like the decoder's resolve_offset.
+
+    Repcodes cost of_code 0-1 (0-1 extra bits) vs log2(offset) bits for a
+    literal offset — the reference leaves this on the table
+    (blocks/compressed.rs:27 TODO), so exploiting it strictly improves size.
+    """
+    if ll != 0:
+        candidates = ((1, hist[0]), (2, hist[1]), (3, hist[2]))
+    else:
+        candidates = ((1, hist[1]), (2, hist[2]), (3, hist[0] - 1))
+    of_value = offset + 3
+    for ov, cand in candidates:
+        if cand == offset and cand > 0:
+            of_value = ov
+            break
+    # replay the decoder's history update
+    if of_value > 3:
+        hist[2] = hist[1]
+        hist[1] = hist[0]
+        hist[0] = offset
+    else:
+        idx = of_value + 1 if ll == 0 else of_value
+        if idx == 2:
+            hist[1] = hist[0]
+            hist[0] = offset
+        elif idx in (3, 4):
+            hist[2] = hist[1]
+            hist[1] = hist[0]
+            hist[0] = offset
+    return of_value
+
+
 def ll_code(v: int) -> int:
     c = bisect.bisect_right(C.LL_CODE_BASELINE, v) - 1
     return c
@@ -117,10 +151,44 @@ def _seqnum_varint(n: int) -> bytes:
     return bytes([255]) + (n - 0x7F00).to_bytes(2, "little")
 
 
-def _mode_and_table(codes, max_log: int, writer: BitWriter):
-    """Choose RLE or FSE_Compressed per code stream; write table bytes.
+_PREDEF_ENC = {}
 
-    Returns (mode, encode_table_or_rle_symbol).
+
+def _predefined_encode_table(kind: str):
+    if kind not in _PREDEF_ENC:
+        dist, log = {
+            "ll": (C.LL_DEFAULT_DIST, C.LL_DEFAULT_ACC_LOG),
+            "of": (C.OF_DEFAULT_DIST, C.OF_DEFAULT_ACC_LOG),
+            "ml": (C.ML_DEFAULT_DIST, C.ML_DEFAULT_ACC_LOG),
+        }[kind]
+        _PREDEF_ENC[kind] = fse_enc.build_encode_table(list(dist), log)
+    return _PREDEF_ENC[kind]
+
+
+def _sim_bits(table, codes) -> int:
+    """Exact bit cost of one code stream under `table` (init emits nothing,
+    each later symbol emits state bits, flush emits table_log)."""
+    enc = fse_enc.FSEEncoder(table)
+    enc.init_state(codes[-1])
+    bits = 0
+    nbt = table.delta_nb_bits
+    fst = table.delta_find_state
+    ns = table.next_state
+    state = enc.state
+    for c in reversed(codes[:-1]):
+        nb = (state + int(nbt[c])) >> 16
+        bits += nb
+        state = int(ns[(state >> nb) + int(fst[c])])
+    return bits + table.table_log
+
+
+def _mode_and_table(codes, max_log: int, writer: BitWriter, kind: str = None):
+    """Choose RLE / Predefined / FSE_Compressed by exact encoded size and
+    write the table bytes. Returns (mode, encode_table_or_rle_symbol).
+
+    The reference always writes fresh tables (choose_table scaffolding at
+    blocks/compressed.rs:119-135); picking the cheapest of the three modes
+    is a strict size improvement.
     """
     first = codes[0]
     if all(c == first for c in codes):
@@ -132,14 +200,42 @@ def _mode_and_table(codes, max_log: int, writer: BitWriter):
     while probs and probs[-1] == 0:
         probs.pop()
     table = fse_enc.build_encode_table(probs, table_log)
-    fse_enc.write_table_description(probs, table_log, writer)
+    dw = BitWriter()
+    fse_enc.write_table_description(probs, table_log, dw)
+    desc = dw.dump()
+
+    if kind is not None:
+        pre = _predefined_encode_table(kind)
+        max_code = len(pre.probs) - 1
+        if max(codes) <= max_code:
+            cost_custom = len(desc) * 8 + _sim_bits(table, codes)
+            cost_pre = _sim_bits(pre, codes)
+            if cost_pre <= cost_custom:
+                return C.MODE_PREDEFINED, pre
+    writer.append_bytes(desc)
     return C.MODE_FSE, table
 
 
-def encode_sequences_section(seqs: list[RawSequence], out: bytearray) -> None:
+def make_triples(seqs: list[RawSequence], offset_hist: list[int] | None) -> list:
+    """(ll, ml, of_value) triples with repeat-offset exploitation when a
+    history list is provided (mutated in place, frame-scoped)."""
+    triples = []
+    for s in seqs:
+        if s.match_len <= 0:
+            continue
+        ll = len(s.literals)
+        if offset_hist is not None:
+            ofv = choose_offset_value(s.offset, ll, offset_hist)
+        else:
+            ofv = s.offset + 3
+        triples.append((ll, s.match_len, ofv))
+    return triples
+
+
+def encode_sequences_section(seqs: list[RawSequence], out: bytearray,
+                             offset_hist: list[int] | None = None) -> None:
     """Append the sequences section: varint, mode byte, tables, bitstream."""
-    triples = [(len(s.literals), s.match_len, s.offset + 3)
-               for s in seqs if s.match_len > 0]
+    triples = make_triples(seqs, offset_hist)
     n = len(triples)
     out.extend(_seqnum_varint(n))
     if n == 0:
@@ -150,9 +246,9 @@ def encode_sequences_section(seqs: list[RawSequence], out: bytearray) -> None:
     of_codes = [of_code_of(of) for _, _, of in triples]
 
     tw = BitWriter()
-    ll_mode, ll_t = _mode_and_table(ll_codes, C.LL_MAX_LOG, tw)
-    of_mode, of_t = _mode_and_table(of_codes, C.OF_MAX_LOG, tw)
-    ml_mode, ml_t = _mode_and_table(ml_codes, C.ML_MAX_LOG, tw)
+    ll_mode, ll_t = _mode_and_table(ll_codes, C.LL_MAX_LOG, tw, "ll")
+    of_mode, of_t = _mode_and_table(of_codes, C.OF_MAX_LOG, tw, "of")
+    ml_mode, ml_t = _mode_and_table(ml_codes, C.ML_MAX_LOG, tw, "ml")
     out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     out.extend(tw.dump())
 
@@ -203,14 +299,19 @@ def _add_extra_bits(w: BitWriter, triple, llc: int, mlc: int, ofc: int) -> None:
     w.write_bits(of - (1 << ofc), ofc)
 
 
-def compress_block(block: bytes, matcher=None) -> bytes | None:
+def compress_block(block: bytes, matcher=None,
+                   offset_hist: list[int] | None = None) -> bytes | None:
     """Produce compressed-block content, or None when it does not pay
-    (caller falls back to a Raw block — levels/fastest.rs:49-57)."""
+    (caller falls back to a Raw block — levels/fastest.rs:49-57).
+
+    `offset_hist` is the frame's repeat-offset history; the caller commits
+    the mutated list only when the compressed form is actually emitted.
+    """
     seqs = matcher.find(block) if matcher is not None else find_sequences(block)
     lits = b"".join(s.literals for s in seqs)
     out = bytearray()
     encode_literals_section(lits, out)
-    encode_sequences_section(seqs, out)
+    encode_sequences_section(seqs, out, offset_hist)
     if len(out) >= len(block):
         return None
     return bytes(out)

@@ -74,6 +74,7 @@ class FrameCompressor:
                 "(reference parity: frame_compressor.rs:200-204)")
         if self.matcher is not None:
             self.matcher.reset(level)
+        self._offset_hist = list(C.INITIAL_REPEAT_OFFSETS)
         hasher = Xxh64() if cfg.write_checksum else None
         window_log = (self.matcher.window_size().bit_length() - 1
                       if self.matcher is not None else cfg.window_log)
@@ -113,10 +114,12 @@ class FrameCompressor:
             drain.write(_block_header(last, C.BLOCK_RLE, len(block)))
             drain.write(block[0:1])
             return
-        compressed = compress_block(block, self.matcher)
+        hist = list(self._offset_hist)
+        compressed = compress_block(block, self.matcher, hist)
         if compressed is not None and len(compressed) < len(block):
             drain.write(_block_header(last, C.BLOCK_COMPRESSED, len(compressed)))
             drain.write(compressed)
+            self._offset_hist = hist  # commit only when the block is emitted
         else:
             drain.write(_block_header(last, C.BLOCK_RAW, len(block)))
             drain.write(block)

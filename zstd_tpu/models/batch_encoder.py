@@ -26,7 +26,7 @@ from zstd_tpu.common.errors import EncodeError
 from zstd_tpu.encoding import fse_enc, huff0_enc
 from zstd_tpu.encoding.block_enc import (
     _lit_header, _lit_header_byte, _lit_header_compressed, _mode_and_table,
-    _seqnum_varint, ll_code, ml_code, of_code_of)
+    _seqnum_varint, _sim_bits, ll_code, make_triples, ml_code, of_code_of)
 from zstd_tpu.encoding.frame_enc import _block_header, _frame_header, BLOCK_SIZE
 from zstd_tpu.encoding.match_gen import find_sequences
 from zstd_tpu.ops.bitpack import finalize_streams, pack_bits_lanes
@@ -83,29 +83,47 @@ class BatchEncoder:
     # ------------------------------------------------------------------ plan
 
     def _plan_frame(self, payload: bytes, huff_lanes, seq_lanes):
+        import zstd_tpu.common.constants as CC
+
         blocks = []
         if len(payload) == 0:
             return [("empty",)]
+        offset_hist = list(CC.INITIAL_REPEAT_OFFSETS)
         for off in range(0, len(payload), BLOCK_SIZE):
             block = payload[off:off + BLOCK_SIZE]
             if block.count(block[0]) == len(block):
                 blocks.append(("rle", block[0], len(block)))
                 continue
-            plan = self._plan_compressed_block(block, huff_lanes, seq_lanes)
-            blocks.append(plan if plan is not None else ("raw", block))
+            hist = list(offset_hist)
+            plan = self._plan_compressed_block(block, huff_lanes, seq_lanes, hist)
+            if plan is not None:
+                offset_hist = hist  # commit: the block will be emitted compressed
+                blocks.append(plan)
+            else:
+                blocks.append(("raw", block))
         return blocks
 
-    def _plan_compressed_block(self, block, huff_lanes, seq_lanes):
+    def _plan_compressed_block(self, block, huff_lanes, seq_lanes, offset_hist):
+        """Returns a plan whose exact assembled size beats raw, else None.
+
+        Sizes are computed exactly at plan time (sum of code lengths /
+        simulated state bits) so the raw-vs-compressed decision — and the
+        repeat-offset history commit — happen before any device work,
+        keeping output byte-identical to the host FrameCompressor."""
         seqs = find_sequences(block)
         lits = b"".join(s.literals for s in seqs)
 
-        # literals representation
+        # literals representation + exact section size
         lit_plan = None
+        lit_size = None
         n = len(lits)
+        pending_huff = None
         if n == 0:
             lit_plan = ("rawlit", b"")
+            lit_size = 1
         elif lits.count(lits[0]) == n:
             lit_plan = ("rlelit", lits[0], n)
+            lit_size = len(_lit_header(C.LIT_RLE, n)) + 1
         elif n > 63:
             counts = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
             try:
@@ -114,36 +132,75 @@ class BatchEncoder:
                 huff0_enc.write_table_description(table, tw)
                 desc = tw.dump()
                 four = n >= 256
-                lanes = []
                 if four:
                     split = (n + 3) // 4
-                    parts = [lits[i * split:(i + 1) * split] for i in range(3)]
-                    parts.append(lits[3 * split:])
+                    parts = [lits[i * split:(i + 1) * split] for i in range(4)]
                 else:
                     parts = [lits]
-                for part in parts:
-                    rev = np.frombuffer(part, np.uint8)[::-1]
-                    lanes.append(len(huff_lanes))
-                    huff_lanes.append(_HuffLane(
-                        codes=table.codes[rev].astype(np.uint32),
-                        nbits=table.lengths[rev].astype(np.int32)))
-                lit_plan = ("huff", n, desc, four, lanes, lits)
+                # exact stream sizes: sum of code lengths + sentinel, padded
+                sizes = [int(np.sum(table.lengths[np.frombuffer(p, np.uint8)])
+                             + 1 + 7) // 8 for p in parts]
+                payload_size = (6 if four else 0) + sum(sizes)
+                comp = len(desc) + payload_size
+                header = _lit_header_compressed(C.LIT_COMPRESSED, n, comp, four)
+                raw_cost = len(_lit_header(C.LIT_RAW, n)) + n
+                if (header is not None and len(header) + comp < raw_cost
+                        and all(s <= 0xFFFF for s in sizes[:3])):
+                    pending_huff = (table, desc, four, parts)
+                    lit_size = len(header) + comp
             except EncodeError:
-                lit_plan = None
-        if lit_plan is None:
+                pending_huff = None
+        if lit_plan is None and pending_huff is None:
             lit_plan = ("rawlit", lits)
+            lit_size = len(_lit_header(C.LIT_RAW, n)) + n if n else 1
 
-        # sequences representation
-        triples = [(len(s.literals), s.match_len, s.offset + 3)
-                   for s in seqs if s.match_len > 0]
+        # sequences representation + exact section size
+        triples = make_triples(seqs, offset_hist)
+        seq_pending = None
         if triples:
             llc = [ll_code(a) for a, _, _ in triples]
             mlc = [ml_code(m) for _, m, _ in triples]
             ofc = [of_code_of(o) for _, _, o in triples]
             tw = BitWriter()
-            ll_mode, ll_t = _mode_and_table(llc, C.LL_MAX_LOG, tw)
-            of_mode, of_t = _mode_and_table(ofc, C.OF_MAX_LOG, tw)
-            ml_mode, ml_t = _mode_and_table(mlc, C.ML_MAX_LOG, tw)
+            ll_mode, ll_t = _mode_and_table(llc, C.LL_MAX_LOG, tw, "ll")
+            of_mode, of_t = _mode_and_table(ofc, C.OF_MAX_LOG, tw, "of")
+            ml_mode, ml_t = _mode_and_table(mlc, C.ML_MAX_LOG, tw, "ml")
+            table_bytes = tw.dump()
+            # exact bitstream size: per-stream state bits (incl flush) +
+            # extras + sentinel, padded to bytes. RLE-mode streams are free.
+            bits = 0
+            for mode, tab, codes in ((ll_mode, ll_t, llc), (of_mode, of_t, ofc),
+                                     (ml_mode, ml_t, mlc)):
+                if mode != C.MODE_RLE:
+                    bits += _sim_bits(tab, codes)
+            from zstd_tpu.common import constants as CC
+            for (a, m, o), lc, mc, oc in zip(triples, llc, mlc, ofc):
+                bits += CC.LL_CODE_EXTRA_BITS[lc] + CC.ML_CODE_EXTRA_BITS[mc] + oc
+            stream_size = (bits + 1 + 7) // 8
+            seq_size = (len(_seqnum_varint(len(triples))) + 1
+                        + len(table_bytes) + stream_size)
+            seq_pending = (triples, ll_mode, ll_t, of_mode, of_t, ml_mode,
+                           ml_t, table_bytes)
+        else:
+            seq_size = 1  # the 0 varint
+
+        total = lit_size + seq_size
+        if total >= len(block):
+            return None  # raw block wins; caller reverts the offset history
+
+        # commit lanes now that the block is definitely compressed
+        if pending_huff is not None:
+            table, desc, four, parts = pending_huff
+            lanes = []
+            for part in parts:
+                rev = np.frombuffer(part, np.uint8)[::-1]
+                lanes.append(len(huff_lanes))
+                huff_lanes.append(_HuffLane(
+                    codes=table.codes[rev].astype(np.uint32),
+                    nbits=table.lengths[rev].astype(np.int32)))
+            lit_plan = ("huff", n, desc, four, lanes, lits)
+        if seq_pending is not None:
+            triples, ll_mode, ll_t, of_mode, of_t, ml_mode, ml_t, tb = seq_pending
             lane_id = len(seq_lanes)
             seq_lanes.append(_SeqLane(
                 triples=triples,
@@ -155,7 +212,7 @@ class BatchEncoder:
                       0 if ml_mode == C.MODE_RLE else ml_t.table_log)))
             seq_plan = ("seqs", len(triples),
                         (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2),
-                        tw.dump(), lane_id)
+                        tb, lane_id)
         else:
             seq_plan = ("noseq",)
         return ("compressed", block, lit_plan, seq_plan)

@@ -1,0 +1,50 @@
+"""Windowed multi-block single-frame decode (BASELINE config 2, enwik8-style):
+a few-MB text-like frame with long-range matches, decoded (a) by the
+streaming oracle in bounded memory and (b) by the device pipeline as one
+lane, both bit-exact."""
+
+import io
+import random
+
+import zstandard
+
+from zstd_tpu.oracle import StreamingDecoder
+from zstd_tpu.models.splitter import decode_all_device
+
+
+def wiki_like(total: int, seed: int = 5) -> bytes:
+    rng = random.Random(seed)
+    words = ("the of and in to a is was for on as by with he at his that "
+             "from it an were are which this also be had first one their").split()
+    out = []
+    size = 0
+    while size < total:
+        if rng.random() < 0.05:
+            s = "[[%s]] " % rng.choice(words)
+        else:
+            s = rng.choice(words) + " "
+        out.append(s)
+        size += len(s)
+    return ("".join(out)[:total]).encode()
+
+
+def test_streaming_bounded_memory_bit_exact():
+    data = wiki_like(3 << 20)
+    params = zstandard.ZstdCompressionParameters.from_level(6, window_log=18)
+    z = zstandard.ZstdCompressor(compression_params=params).compress(data)
+    dec = StreamingDecoder(io.BytesIO(z))
+    out = bytearray()
+    while True:
+        chunk = dec.read(64 * 1024)
+        if not chunk:
+            break
+        out.extend(chunk)
+        # bounded memory: the retained window never exceeds window + slack
+        assert dec.decoder.scratch.buffer.len() <= (1 << 18) + (1 << 17) + 4096
+    assert bytes(out) == data
+
+
+def test_device_single_big_frame():
+    data = wiki_like(2 << 20)
+    z = zstandard.ZstdCompressor(level=6).compress(data)
+    assert decode_all_device(z) == data

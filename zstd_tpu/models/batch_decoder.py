@@ -28,7 +28,11 @@ from zstd_tpu.common.errors import ZstdError
 from zstd_tpu.models.framer import DeviceBatch, Framer
 from zstd_tpu.ops.execute import execute_sequences_lanes
 from zstd_tpu.ops.huffman import decode_huffman_lanes
+from zstd_tpu.ops.pallas_execute import MAX_SMEM_SEQS, execute_sequences_pallas
+from zstd_tpu.ops.pallas_huffman import decode_huffman_lanes_pallas
+from zstd_tpu.ops.pallas_sequence import decode_sequence_lanes_pallas
 from zstd_tpu.ops.sequence import decode_sequence_lanes, resolve_offsets
+from zstd_tpu.utils.platform import use_pallas_kernels
 from zstd_tpu.utils.xxhash64 import xxhash64 as _py_xxh64
 
 
@@ -72,10 +76,12 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_symbols"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "max_symbols", "use_pallas"))
 def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
                  nsym_full, dst_frame_full, dst_off_full, idx, lit_full,
-                 frame_ok, width: int, max_symbols: int):
+                 frame_ok, width: int, max_symbols: int,
+                 use_pallas: bool = False):
     # gather this bucket's lanes on device (idx rows, first `width` cols)
     cols = jnp.arange(width, dtype=jnp.int32)
     streams = streams_full[idx[:, None], cols[None, :]]
@@ -85,8 +91,12 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
     dst_frame = dst_frame_full[idx]
     dst_off = dst_off_full[idx]
 
-    lits, ok = decode_huffman_lanes(streams, pos, tid, tables, maxbits,
-                                    nsym, max_symbols)
+    if use_pallas:
+        lits, ok = decode_huffman_lanes_pallas(
+            streams, pos, tables[tid], maxbits[tid], nsym, max_symbols)
+    else:
+        lits, ok = decode_huffman_lanes(streams, pos, tid, tables, maxbits,
+                                        nsym, max_symbols)
     lit_w = lit_full.shape[1]
     j = jnp.arange(max_symbols, dtype=jnp.int32)[None, :]
     dst_col = dst_off[:, None] + j
@@ -96,13 +106,14 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
     return lit_full, frame_ok
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_seqs"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "max_seqs", "use_pallas"))
 def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
                 ml_tid_full, ll_tables, of_tables, ml_tables, ll_logs,
                 of_logs, ml_logs, dst_frame_full, dst_off_full,
                 lit_total_full, trail_slot_full, idx,
                 ll_full, ml_full, of_full, frame_ok,
-                width: int, max_seqs: int):
+                width: int, max_seqs: int, use_pallas: bool = False):
     cols = jnp.arange(width, dtype=jnp.int32)
     streams = streams_full[idx[:, None], cols[None, :]]
     pos = pos_full[idx]
@@ -115,9 +126,15 @@ def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
     lit_total = lit_total_full[idx]
     trail_slot = trail_slot_full[idx]
 
-    ll_l, ml_l, of_l, ok = decode_sequence_lanes(
-        streams, pos, n, ll_tid, of_tid, ml_tid, ll_tables, of_tables,
-        ml_tables, ll_logs, of_logs, ml_logs, max_seqs)
+    if use_pallas:
+        ll_l, ml_l, of_l, ok = decode_sequence_lanes_pallas(
+            streams, pos, n, ll_tables[ll_tid], of_tables[of_tid],
+            ml_tables[ml_tid], ll_logs[ll_tid], of_logs[of_tid],
+            ml_logs[ml_tid], max_seqs)
+    else:
+        ll_l, ml_l, of_l, ok = decode_sequence_lanes(
+            streams, pos, n, ll_tid, of_tid, ml_tid, ll_tables, of_tables,
+            ml_tables, ll_logs, of_logs, ml_logs, max_seqs)
     seq_w = ll_full.shape[1]
     k = jnp.arange(max_seqs, dtype=jnp.int32)[None, :]
     col = dst_off[:, None] + k
@@ -138,7 +155,11 @@ def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
 def _resolve(ll_full, ml_full, of_full, is_real, init_hist):
     offsets, ok = resolve_offsets(ll_full, of_full, is_real, init_hist)
     out_len = jnp.sum(ll_full + ml_full, axis=1)
-    return offsets, out_len, ok
+    S = ll_full.shape[1]
+    act = (ll_full + ml_full) > 0
+    nseq = jnp.max(jnp.where(act, jnp.arange(S, dtype=jnp.int32)[None, :] + 1,
+                             0), axis=1)
+    return offsets, out_len, ok, nseq
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -149,9 +170,22 @@ def _exec_bucket(ll_full, ml_full, offsets, lit_full, out_len, idx,
         out_len[idx], out_width)
 
 
-def _pad_idx(rows, inert: int) -> np.ndarray:
-    """Pad a bucket's row indices (quantized count) with the inert lane."""
-    n = _pow2(len(rows), lo=4, q=2) if rows else 4
+@functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
+def _exec_bucket_pallas(ll_full, ml_full, offsets, lit_full, out_len, idx,
+                        out_width: int, interpret: bool = False):
+    return execute_sequences_pallas(
+        ll_full[idx], ml_full[idx], offsets[idx], lit_full[idx],
+        out_len[idx], out_width, interpret=interpret)
+
+
+def _pad_idx(rows, inert: int, lo: int = 4) -> np.ndarray:
+    """Pad a bucket's row indices (quantized count) with the inert lane.
+
+    Pallas kernels want lo=128: lanes are the physical minor dim and arrays
+    are tile-padded to 128 there anyway, so smaller buckets would pay full
+    vregs (and can trip XLA's VMEM result placement) without saving compute.
+    """
+    n = _pow2(len(rows), lo=lo, q=1 if lo >= 128 else 2) if rows else lo
     return np.asarray(rows + [inert] * (n - len(rows)), np.int32)
 
 
@@ -189,18 +223,19 @@ class BatchDecoder:
         dev["init_hist"] = jnp.asarray(
             np.tile(np.array([1, 4, 8], np.int32), (Bf, 1)))
 
+        lo = 128 if use_pallas_kernels() else 4
         huff_inert = batch.huff_streams.shape[0] - 1  # the +1 inert row
         seq_inert = batch.seq_streams.shape[0] - 1
         live = [i for i in range(huff_inert) if batch.huff_nsym[i] > 0]
         dev["huff_plan"] = [
-            ((w, c), _pad_idx([live[r] for r in rows], huff_inert))
+            ((w, c), _pad_idx([live[r] for r in rows], huff_inert, lo))
             for (w, c), rows in _buckets(
                 [int(batch.huff_len[i]) for i in live],
                 [int(batch.huff_nsym[i]) for i in live],
                 self.max_bucket_elems)]
         live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
         dev["seq_plan"] = [
-            ((w, c), _pad_idx([live[r] for r in rows], seq_inert))
+            ((w, c), _pad_idx([live[r] for r in rows], seq_inert, lo))
             for (w, c), rows in _buckets(
                 [int(batch.seq_len[i]) for i in live],
                 [int(batch.seq_n[i]) for i in live],
@@ -224,14 +259,22 @@ class BatchDecoder:
                f"{len(d['huff_plan'])} huffman buckets, "
                f"{len(d['seq_plan'])} sequence buckets")
 
+        pallas_ok = use_pallas_kernels()
+
         # --- stage 1a: huffman lanes, bucketed --------------------------------
+        # Pallas kernels stage the bucket's word array AND per-lane tables in
+        # VMEM: cap B*(width + table bytes) under the 16 MB budget (huffman
+        # tables are (2048, B) i32 = 8 KiB/lane, seq tables 5 KiB/lane).
+        vmem_cap = 10 << 20
         for (w, c), idx in d["huff_plan"]:
           with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
                 d["huff_streams"], d["huff_pos"], d["huff_tid"],
                 d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
-                lit_full, frame_ok, width=w, max_symbols=c)
+                lit_full, frame_ok, width=w, max_symbols=c,
+                use_pallas=pallas_ok
+                and len(idx) * (w + 8192) <= vmem_cap)
 
         # --- stage 1b: sequence lanes, bucketed --------------------------------
         ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
@@ -243,24 +286,33 @@ class BatchDecoder:
                 d["ml_tables"], d["ll_logs"], d["of_logs"], d["ml_logs"],
                 d["seq_dst_frame"], d["seq_dst_off"], d["seq_lit_total"],
                 d["seq_trail_slot"], jnp.asarray(idx),
-                ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c)
+                ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c,
+                use_pallas=pallas_ok
+                and len(idx) * (w + 5120) <= vmem_cap)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
         with scope("offset_resolution"):
-            offsets, out_len, res_ok = _resolve(
+            offsets, out_len, res_ok, nseq = _resolve(
                 ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
         out_len_h = np.asarray(out_len)
+        nseq_h = np.asarray(nseq)
         ok_h = np.asarray(frame_ok & res_ok).copy()
 
         # --- stage 3: execution, bucketed by real output size ------------------
+        # Pallas per-lane executor on real TPUs (sequence records must fit
+        # its SMEM block); XLA pointer-doubling otherwise.
         outputs = [None] * Bf
         live = list(range(frame_inert))  # skip the inert frame row
         for (w, _), rows in _buckets(
                 [max(int(out_len_h[i]), 1) for i in live], [1] * len(live),
                 self.max_bucket_elems):
-            idx = _pad_idx([live[r] for r in rows], frame_inert)
+            use_pl = pallas_ok and all(
+                nseq_h[live[r]] <= MAX_SMEM_SEQS for r in rows)
+            idx = _pad_idx([live[r] for r in rows], frame_inert,
+                           128 if use_pl else 4)
+            exec_fn = _exec_bucket_pallas if use_pl else _exec_bucket
             with scope(f"lz77_execute_{w}"):
-                out_b, exec_ok = _exec_bucket(
+                out_b, exec_ok = exec_fn(
                     ll_full, ml_full, offsets, lit_full, out_len,
                     jnp.asarray(idx), out_width=w)
             if pull_outputs:

@@ -1,0 +1,258 @@
+"""Pallas TPU kernel for interleaved 3-state tANS sequence decoding.
+
+Replaces the lax.scan in ops/sequence.py::decode_sequence_lanes on real TPUs.
+The XLA scan pays ~40 us per step (per-op dispatch + minor-dim gathers at
+~70 M elem/s); here one kernel keeps all lane state in VMEM and does every
+dynamic read as a one-hot select + sublane reduction (measured ~1.5 G
+lookups/s on v5e, scripts/microbench_gather.py).
+
+Layout: everything is transposed to (entries, lanes) so that
+  - the bitstream is a (Nw, B) u32 word array; a bit read is two one-hot
+    compares + masked sublane reductions (words w and w+1)
+  - FSE tables are (width, B) per-lane stacks
+  - per-step outputs are single dynamic-sublane row stores into (S, B)
+    blocks, streamed to HBM by a chunked grid (VMEM holds one chunk)
+  - decode state lives in VMEM scratch, persisting across grid steps
+
+Semantics parity with sequence_section_decoder.rs:154-221 (decode order
+OF->ML->LL extras, state updates LL->ML->OF skipped on the final sequence,
+strict bits_remaining()==0 end check) via the same read_bits convention as
+ops/bitstream.py (phantom zeros below bit 0).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zstd_tpu.common import constants as C
+
+SEQ_CHUNK = 512  # sequences per grid step (output block rows)
+
+_LL_BASE = np.array(C.LL_CODE_BASELINE, dtype=np.int32)
+_LL_XTRA = np.array(C.LL_CODE_EXTRA_BITS, dtype=np.int32)
+_ML_BASE = np.array(C.ML_CODE_BASELINE, dtype=np.int32)
+_ML_XTRA = np.array(C.ML_CODE_EXTRA_BITS, dtype=np.int32)
+
+
+def _lut_rows(arr, rows=64):
+    out = np.zeros((rows, 1), np.int32)
+    out[:len(arr), 0] = arr
+    return out
+
+
+def _fetch(w_ref, pos, n):
+    """Read n (<=32) bits ending at bit `pos` per lane (phantom-zero rule).
+
+    w_ref: (Nw, B) word ref (i32 bit patterns). pos/n: (1, B) i32. Returns
+    (val (1,B) u32, new_pos (1,B) i32). Two one-hot compares + reductions.
+    Everything full-size (the ref read and the iota) is built INSIDE this
+    helper: values that live across the step loop get materialized on the
+    Mosaic stack (OOM for wide streams), inline chains fuse into the
+    reduction loops at no memory cost.
+    """
+    W = w_ref[:]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, W.shape, 0)
+    new_pos = pos - n
+    start = jnp.maximum(new_pos, 0)
+    widx = start >> 5
+    # Mosaic can't reduce unsigned ints: reduce as i32, bitcast-wrap to u32
+    oh = rows_iota == widx  # (Nw, B)
+    w0 = jnp.sum(jnp.where(oh, W, 0), axis=0, keepdims=True).astype(jnp.uint32)
+    oh1 = rows_iota == widx + 1
+    w1 = jnp.sum(jnp.where(oh1, W, 0), axis=0, keepdims=True).astype(jnp.uint32)
+    boff = (start & 31).astype(jnp.uint32)
+    lo = w0 >> boff
+    hi = jnp.where(boff == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - boff))
+    n_u = n.astype(jnp.uint32)
+    mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n_u) - 1)
+    val = (lo | hi) & mask
+    phantom = (start - new_pos).astype(jnp.uint32)
+    val = jnp.where(n > 0, (val << phantom) & mask, jnp.uint32(0))
+    return val, new_pos
+
+
+def _lookup(tab_ref, state):
+    """tab_ref (width, B) i32 ref, state (1, B) -> entry (1, B) i32."""
+    tab = tab_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, tab.shape, 0)
+    return jnp.sum(jnp.where(rows == state, tab, 0), axis=0, keepdims=True)
+
+
+def _lut(lut_col, code):
+    """lut_col (rows, 1) i32, code (1, B) -> (1, B) i32 (tiny one-hot)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (lut_col.shape[0], 1), 0)
+    oh = rows == code  # (rows, B) via broadcast
+    return jnp.sum(jnp.where(oh, lut_col, 0), axis=0, keepdims=True)
+
+
+def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
+                mltab_ref, lllog_ref, oflog_ref, mllog_ref, luts_ref,
+                ll_out, ml_out, of_out, okpos_ref,
+                st_ref, Nw: int, B: int, n_chunks: int):
+    pid = pl.program_id(0)
+    ll_base = luts_ref[:, 0:1]
+    ll_xtra = luts_ref[:, 1:2]
+    ml_base = luts_ref[:, 2:3]
+    ml_xtra = luts_ref[:, 3:4]
+
+    @pl.when(pid == 0)
+    def _():
+        # init order LL, OF, ML (RFC 8878); state rows: 0..2 = ll/of/ml
+        # states, 3 = pos, 4 = ok mask
+        pos0 = init_ref[0:1, :]
+        lll = lllog_ref[0:1, :]
+        ofl = oflog_ref[0:1, :]
+        mll = mllog_ref[0:1, :]
+        v, pos3 = _fetch(words_ref, pos0, lll + ofl + mll)
+        v = v.astype(jnp.int32)
+        st_ref[0:1, :] = v >> (ofl + mll)
+        st_ref[1:2, :] = (v >> mll) & ((jnp.int32(1) << ofl) - 1)
+        st_ref[2:3, :] = v & ((jnp.int32(1) << mll) - 1)
+        st_ref[3:4, :] = pos3
+        st_ref[4:5, :] = ((pos0 >= 0) & (pos3 >= 0)).astype(jnp.int32)
+
+    nseq = nseq_ref[0:1, :]
+
+    def step(k, carry):
+        s_ll, s_of, s_ml, pos, ok = carry
+        i = pid * SEQ_CHUNK + k
+        active = (i < nseq).astype(jnp.int32)
+        not_last = i < nseq - 1
+
+        e_of = _lookup(oftab_ref, s_of)
+        e_ml = _lookup(mltab_ref, s_ml)
+        e_ll = _lookup(lltab_ref, s_ll)
+        of_code = e_of & 0xFF
+        ml_code = e_ml & 0xFF
+        ll_code = e_ll & 0xFF
+        code_ok = (of_code <= 31) & (ml_code <= 52) & (ll_code <= 35)
+        of_code = jnp.minimum(of_code, 31)
+        ml_code = jnp.minimum(ml_code, 52)
+        ll_code = jnp.minimum(ll_code, 35)
+
+        # extras: OF (one <=31-bit read), then ML+LL fused (<=32 bits, the
+        # ML field sits above the LL field in the read window)
+        nb = of_code * active
+        r_of, pos = _fetch(words_ref, pos, nb)
+        ofv = (jnp.int32(1) << of_code) + r_of.astype(jnp.int32)
+
+        nb_mlx = _lut(ml_xtra, ml_code) * active
+        nb_llx = _lut(ll_xtra, ll_code) * active
+        r2, pos = _fetch(words_ref, pos, nb_mlx + nb_llx)
+        r2 = r2.astype(jnp.int32)
+        llmask = (jnp.int32(1) << nb_llx) - 1
+        ml = _lut(ml_base, ml_code) + ((r2 >> nb_llx) &
+                                               ((jnp.int32(1) << nb_mlx) - 1))
+        ll = _lut(ll_base, ll_code) + (r2 & llmask)
+
+        # state updates LL -> ML -> OF (one fused <=26-bit read; LL bits are
+        # the high field), skipped after the final sequence
+        upd = jnp.where(not_last, active, 0)
+        nb_ll = ((e_ll >> 8) & 0xFF) * upd
+        nb_ml = ((e_ml >> 8) & 0xFF) * upd
+        nb_of = ((e_of >> 8) & 0xFF) * upd
+        r3, pos = _fetch(words_ref, pos, nb_ll + nb_ml + nb_of)
+        r3 = r3.astype(jnp.int32)
+        b_of = r3 & ((jnp.int32(1) << nb_of) - 1)
+        b_ml = (r3 >> nb_of) & ((jnp.int32(1) << nb_ml) - 1)
+        b_ll = r3 >> (nb_of + nb_ml)
+        s_ll2 = (e_ll >> 16) + b_ll
+        s_ml2 = (e_ml >> 16) + b_ml
+        s_of2 = (e_of >> 16) + b_of
+
+        ok = jnp.where(active == 1, ok & (pos >= 0).astype(jnp.int32)
+                       & code_ok.astype(jnp.int32), ok)
+        s_ll = jnp.where(active == 1, s_ll2, s_ll)
+        s_ml = jnp.where(active == 1, s_ml2, s_ml)
+        s_of = jnp.where(active == 1, s_of2, s_of)
+
+        ll_out[pl.ds(k, 1), :] = ll * active
+        ml_out[pl.ds(k, 1), :] = ml * active
+        of_out[pl.ds(k, 1), :] = ofv * active
+        return s_ll, s_of, s_ml, pos, ok
+
+    carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],
+             st_ref[3:4, :], st_ref[4:5, :])
+    s_ll, s_of, s_ml, pos, ok = jax.lax.fori_loop(0, SEQ_CHUNK, step, carry)
+    st_ref[0:1, :] = s_ll
+    st_ref[1:2, :] = s_of
+    st_ref[2:3, :] = s_ml
+    st_ref[3:4, :] = pos
+    st_ref[4:5, :] = ok
+
+    @pl.when(pid == n_chunks - 1)
+    def _():
+        # strict end: bits exactly exhausted (bits_remaining == 0)
+        final_ok = (ok == 1) & (pos == 0)
+        final_ok = final_ok | (nseq <= 0)
+        okpos_ref[0:1, :] = final_ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seqs", "interpret"))
+def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
+                                 init_pos,     # (B,) i32, -1 invalid
+                                 nseq,         # (B,) i32
+                                 ll_tab, of_tab, ml_tab,  # (B, 512/256/512) u32
+                                 ll_log, of_log, ml_log,  # (B,) i32
+                                 max_seqs: int,
+                                 interpret: bool = False):
+    """Pallas drop-in for decode_sequence_lanes (per-lane tables pre-gathered).
+
+    Returns (ll, ml, ofv) i32 (B, max_seqs) + ok (B,) bool.
+    """
+    B, L = streams_u8.shape
+    Nw = (L + 3) // 4 + 2  # >=2 zero pad words (fetch reads word w+1)
+    pad = Nw * 4 - L
+    by = jnp.pad(streams_u8, ((0, 0), (0, pad))).astype(jnp.uint32)
+    by = by.reshape(B, Nw, 4)
+    words = (by[:, :, 0] | (by[:, :, 1] << 8) | (by[:, :, 2] << 16)
+             | (by[:, :, 3] << 24)).astype(jnp.int32)
+    words_t = words.T  # (Nw, B)
+
+    n_chunks = max(1, (max_seqs + SEQ_CHUNK - 1) // SEQ_CHUNK)
+    S = n_chunks * SEQ_CHUNK
+
+    row = lambda x: x.astype(jnp.int32)[None, :]
+    out_spec = pl.BlockSpec((SEQ_CHUNK, B), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    # constant index map -> single-buffer (the default pipeliner would
+    # double-buffer the full-size words array and blow the 16 MB VMEM budget
+    # for wide streams)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      pipeline_mode=pl.Buffered(1),
+                                      memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        functools.partial(_seq_kernel, Nw=Nw, B=B, n_chunks=n_chunks),
+        grid=(n_chunks,),
+        in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
+                  full((512, B)), full((256, B)), full((512, B)),
+                  full((1, B)), full((1, B)), full((1, B)),
+                  pl.BlockSpec((64, 4), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec, full((1, B))),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32)],
+        interpret=interpret,
+    )
+    luts = jnp.asarray(np.concatenate(
+        [_lut_rows(a) for a in (_LL_BASE, _LL_XTRA, _ML_BASE, _ML_XTRA)],
+        axis=1))
+    ll_o, ml_o, of_o, okv = call(
+        words_t, row(init_pos), row(nseq),
+        ll_tab.astype(jnp.int32).T, of_tab.astype(jnp.int32).T,
+        ml_tab.astype(jnp.int32).T, row(ll_log), row(of_log), row(ml_log),
+        luts)
+
+    ok = (okv[0] == 1) & (init_pos >= 0) | (nseq <= 0)
+    return (ll_o[:max_seqs].T, ml_o[:max_seqs].T, of_o[:max_seqs].T, ok)

@@ -39,3 +39,14 @@ def tpu_available() -> bool:
         return any(d.platform != "cpu" for d in jax.devices())
     except RuntimeError:
         return False
+
+
+def use_pallas_kernels() -> bool:
+    """Pallas (Mosaic) kernels run on real TPU backends only; the CPU
+    backend would need interpret mode (orders of magnitude slower), so the
+    XLA formulations remain the CPU path. ZSTD_TPU_NO_PALLAS=1 forces the
+    XLA path on TPU too (A/B benchmarking, Mosaic-regression escape hatch).
+    """
+    if os.environ.get("ZSTD_TPU_NO_PALLAS"):
+        return False
+    return tpu_available()

@@ -99,3 +99,25 @@ def test_sharded_dryrun_4dev():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_zero_length_rle_block(decoder):
+    """RLE block with size 0 emits nothing (its byte is still consumed).
+
+    Regression: the framer used to push the RLE byte into the literal
+    stream with a (ll=1, ml=-1) retraction record, which both executors
+    mis-handled (decodecorpus z000001/13/36/63/64/76/77).
+    """
+    frame = bytes.fromhex(
+        "28b52ffd"   # magic
+        "00"         # frame header descriptor: no flags
+        "00"         # window descriptor
+        "020000" "41"  # RLE block, size 0, not last; RLE byte 0x41
+        "110000" + b"hi".hex()  # raw last block "hi"
+    )
+    from zstd_tpu.oracle import decode_all
+
+    assert decode_all(frame) == b"hi"
+    batch = decoder.prepare([frame])
+    outs, out_len, ok = decoder.run_device(batch)
+    assert bool(ok[0]) and outs[0][:out_len[0]].tobytes() == b"hi"

@@ -76,6 +76,41 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
     return out
 
 
+# Pallas VMEM budget for bucket planning (hardware scoped limit is 16 MB;
+# leave headroom for temporaries). Per-lane overheads beyond the stream
+# bytes: per-lane tables + double-buffered output chunks.
+PALLAS_VMEM_BUDGET = 12 << 20
+HUFF_LANE_OVERHEAD = 4096 + 4096    # packed (1024,B) table + lit out chunks
+SEQ_LANE_OVERHEAD = 5120 + 12288    # 512+256+512 tables + 3 out chunks x2
+
+
+def _buckets_pallas(widths, counts, overhead: int, bmax: int = 2048):
+    """Bucket plan for the Pallas kernels.
+
+    Their per-step cost is nearly independent of the lane count B (fixed
+    per-instruction overhead dominates, measured ~1.2x from B=256 to 1024),
+    so the optimum is the opposite of the XLA plan: group by quantized
+    width only, pack count-sorted lanes into the widest B that fits the
+    VMEM budget, and run each bucket for its own max step count. Short
+    lanes ride along for free.
+    """
+    groups = {}
+    for i, w in enumerate(widths):
+        groups.setdefault(_pow2(w, q=1), []).append(i)
+    out = []
+    for w, idxs in sorted(groups.items()):
+        cap = max(PALLAS_VMEM_BUDGET // (w + overhead), 1)
+        b_max = 128
+        while b_max * 2 <= min(cap, bmax):
+            b_max *= 2
+        idxs.sort(key=lambda i: counts[i])
+        for s in range(0, len(idxs), b_max):
+            chunk = idxs[s:s + b_max]
+            c = _pow2(max(counts[i] for i in chunk), lo=4, q=1)
+            out.append(((w, c), chunk))
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "max_symbols", "use_pallas"))
 def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
@@ -223,23 +258,30 @@ class BatchDecoder:
         dev["init_hist"] = jnp.asarray(
             np.tile(np.array([1, 4, 8], np.int32), (Bf, 1)))
 
-        lo = 128 if use_pallas_kernels() else 4
+        pallas = use_pallas_kernels()
+        lo = 128 if pallas else 4
         huff_inert = batch.huff_streams.shape[0] - 1  # the +1 inert row
         seq_inert = batch.seq_streams.shape[0] - 1
+
+        def plan(widths, counts, overhead):
+            if pallas:
+                return _buckets_pallas(widths, counts, overhead)
+            return _buckets(widths, counts, self.max_bucket_elems)
+
         live = [i for i in range(huff_inert) if batch.huff_nsym[i] > 0]
         dev["huff_plan"] = [
             ((w, c), _pad_idx([live[r] for r in rows], huff_inert, lo))
-            for (w, c), rows in _buckets(
+            for (w, c), rows in plan(
                 [int(batch.huff_len[i]) for i in live],
                 [int(batch.huff_nsym[i]) for i in live],
-                self.max_bucket_elems)]
+                HUFF_LANE_OVERHEAD)]
         live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
         dev["seq_plan"] = [
             ((w, c), _pad_idx([live[r] for r in rows], seq_inert, lo))
-            for (w, c), rows in _buckets(
+            for (w, c), rows in plan(
                 [int(batch.seq_len[i]) for i in live],
                 [int(batch.seq_n[i]) for i in live],
-                self.max_bucket_elems)]
+                SEQ_LANE_OVERHEAD)]
         return dev
 
     def run_device(self, batch: DeviceBatch, staged: dict | None = None,
@@ -262,10 +304,9 @@ class BatchDecoder:
         pallas_ok = use_pallas_kernels()
 
         # --- stage 1a: huffman lanes, bucketed --------------------------------
-        # Pallas kernels stage the bucket's word array AND per-lane tables in
-        # VMEM: cap B*(width + table bytes) under the 16 MB budget (huffman
-        # tables are (2048, B) i32 = 8 KiB/lane, seq tables 5 KiB/lane).
-        vmem_cap = 10 << 20
+        # Pallas needs the bucket's word array + per-lane tables + output
+        # chunks inside the VMEM budget; oversized buckets (wide streams at
+        # the 128-lane minimum) use the XLA path.
         for (w, c), idx in d["huff_plan"]:
           with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
@@ -273,8 +314,8 @@ class BatchDecoder:
                 d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
                 lit_full, frame_ok, width=w, max_symbols=c,
-                use_pallas=pallas_ok
-                and len(idx) * (w + 8192) <= vmem_cap)
+                use_pallas=pallas_ok and len(idx) *
+                (w + HUFF_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
 
         # --- stage 1b: sequence lanes, bucketed --------------------------------
         ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
@@ -287,8 +328,8 @@ class BatchDecoder:
                 d["seq_dst_frame"], d["seq_dst_off"], d["seq_lit_total"],
                 d["seq_trail_slot"], jnp.asarray(idx),
                 ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c,
-                use_pallas=pallas_ok
-                and len(idx) * (w + 5120) <= vmem_cap)
+                use_pallas=pallas_ok and len(idx) *
+                (w + SEQ_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
         with scope("offset_resolution"):
@@ -299,17 +340,26 @@ class BatchDecoder:
         ok_h = np.asarray(frame_ok & res_ok).copy()
 
         # --- stage 3: execution, bucketed by real output size ------------------
-        # Pallas per-lane executor on real TPUs (sequence records must fit
-        # its SMEM block); XLA pointer-doubling otherwise.
+        # Pallas per-lane executor on real TPUs for lanes whose sequence
+        # records fit its SMEM block; XLA pointer-doubling for the rest.
         outputs = [None] * Bf
         live = list(range(frame_inert))  # skip the inert frame row
-        for (w, _), rows in _buckets(
-                [max(int(out_len_h[i]), 1) for i in live], [1] * len(live),
-                self.max_bucket_elems):
-            use_pl = pallas_ok and all(
-                nseq_h[live[r]] <= MAX_SMEM_SEQS for r in rows)
-            idx = _pad_idx([live[r] for r in rows], frame_inert,
-                           128 if use_pl else 4)
+        pl_live = [i for i in live
+                   if pallas_ok and nseq_h[i] <= MAX_SMEM_SEQS]
+        xla_live = [i for i in live if i not in set(pl_live)]
+        plans = []
+        if pl_live:
+            for (w, _), rows in _buckets(
+                    [max(int(out_len_h[i]), 1) for i in pl_live],
+                    [1] * len(pl_live), self.max_bucket_elems, q=1):
+                plans.append((w, [pl_live[r] for r in rows], True))
+        if xla_live:
+            for (w, _), rows in _buckets(
+                    [max(int(out_len_h[i]), 1) for i in xla_live],
+                    [1] * len(xla_live), self.max_bucket_elems):
+                plans.append((w, [xla_live[r] for r in rows], False))
+        for w, rows, use_pl in plans:
+            idx = _pad_idx(rows, frame_inert, 128 if use_pl else 4)
             exec_fn = _exec_bucket_pallas if use_pl else _exec_bucket
             with scope(f"lz77_execute_{w}"):
                 out_b, exec_ok = exec_fn(
@@ -321,9 +371,9 @@ class BatchDecoder:
             else:
                 jax.block_until_ready(out_b)
                 exec_ok = np.asarray(exec_ok)
-            for r, row in enumerate(rows):
-                outputs[live[row]] = out_b[r]
-                ok_h[live[row]] &= exec_ok[r]
+            for r, lane in enumerate(rows):
+                outputs[lane] = out_b[r]
+                ok_h[lane] &= exec_ok[r]
         return outputs[:frame_inert], out_len_h[:frame_inert], ok_h[:frame_inert]
 
     def decode_frames(self, frames: list) -> list:

@@ -184,9 +184,11 @@ class Framer:
                 if len(byte) < 1:
                     raise ZstdError("truncated RLE block")
                 pos += 1
-                self._add_literal_bytes(fr, byte)
                 n = bh.block_size
-                self._add_synthetic(fr, ll=1, ml=n - 1, of=1 if n > 1 else 0)
+                if n > 0:  # zero-length RLE emits nothing (byte still read)
+                    self._add_literal_bytes(fr, byte)
+                    self._add_synthetic(fr, ll=1, ml=n - 1,
+                                        of=1 if n > 1 else 0)
                 fr["out_bound"] += n
             elif bh.block_type == C.BLOCK_RAW:
                 chunk = data[pos:pos + bh.block_size]

@@ -33,8 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Sequence-record SMEM block: 4 rows (ll, ml, off, meta), meta[0] = nseq.
-MAX_SMEM_SEQS = 8192
+# Sequence-record SMEM capacity (ll/ml/off rows + meta; probed good to
+# 32768 on v5e — scripts/microbench_gather.py). Frames with more sequences
+# (a 128 KiB frame can hold up to ~43K three-byte matches) take the XLA
+# executor instead.
+MAX_SMEM_SEQS = 32768
 _K = 8  # rows per copy chunk (1 KiB)
 
 

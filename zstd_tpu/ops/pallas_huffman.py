@@ -1,16 +1,25 @@
 """Pallas TPU kernel for batched Huffman literal decoding.
 
 Replaces the lax.scan in ops/huffman.py::decode_huffman_lanes on real TPUs
-(same motivation and layout as ops/pallas_sequence.py: state in VMEM,
-bitstream as a transposed (Nw, B) u32 word array read by one-hot sublane
-reductions, canonical tables as per-lane (2048, B) stacks, outputs streamed
-out row-by-row through a chunked grid).
+(same layout as ops/pallas_sequence.py: transposed (entries, lanes) arrays,
+one-hot sublane reductions for every dynamic read, outputs streamed through
+a chunked grid, decode state in VMEM scratch).
+
+v2 cost structure (v1's two full-width scans per symbol dominated):
+  - a per-lane 64-bit bit container (two u32 registers, valid bits
+    top-aligned) replaces per-symbol window fetches: ONE <=22-bit refill
+    fetch per TWO symbols tops the container back up (2 x 11-bit worst-case
+    consumption), so the expensive (Nw, B) scan runs once per two symbols
+  - the canonical table is packed two 16-bit entries (sym | nb<<8) per i32
+    row, halving the table-lookup scan width
 
 Semantics parity with the per-stream loop of
-literals_section_decoder.rs:88-147: state = top max_bits of the reversed
-stream, per step emit table[state].symbol and shift in table[state].num_bits
-new bits (phantom zeros below bit 0), stream valid iff it ends exactly at
--max_bits after n_symbols steps.
+literals_section_decoder.rs:88-147: state = sliding max_bits-wide bit
+window, per step emit table[state].symbol and shift in table[state].num_bits
+new bits (phantom zeros below bit 0 — _fetch supplies them on refill),
+stream valid iff it ends exactly at -max_bits after n_symbols steps. The
+container only changes WHEN bits are fetched, not which bits a symbol sees;
+validity uses a virtual position identical to the XLA path's.
 """
 
 import functools
@@ -22,49 +31,101 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zstd_tpu.ops.pallas_sequence import _fetch, _lookup
 
-LIT_CHUNK = 512  # symbols per grid step
+LIT_CHUNK = 512  # symbols per grid step (must be even: 2-symbol groups)
+
+_U32 = jnp.uint32
+
+
+def _consume(hi, lo, n_u):
+    """Drop the top n (0..31) bits of the (hi, lo) container, per lane.
+
+    Branchless: the double shift (x >> 1 >> (31-n)) realizes >> (32-n)
+    without the n==0 hazard (it yields 0 there), saving where-selects —
+    small-op count dominates the kernels' per-step cost.
+    """
+    hi2 = (hi << n_u) | ((lo >> 1) >> (_U32(31) - n_u))
+    lo2 = lo << n_u
+    return hi2, lo2
+
+
+def _top_bits(hi, n_u):
+    """Value of the top n (0..31) bits of the container (0 for n=0)."""
+    return (hi >> 1) >> (_U32(31) - n_u)
 
 
 def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
-                 lit_out, ok_ref, st_ref, Nw: int, B: int, TW: int,
-                 n_chunks: int):
+                 lit_out, ok_ref, st_ref, n_chunks: int):
     pid = pl.program_id(0)
     mb = mb_ref[0:1, :]
+    mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
     nsym = nsym_ref[0:1, :]
 
     @pl.when(pid == 0)
     def _():
+        # scratch rows: 0=state 1=vpos 2=ok 3=cont_hi 4=cont_lo 5=fill_pos
+        # 6=used (bits consumed since last refill)
         pos0 = init_ref[0:1, :]
-        state0, pos1 = _fetch(words_ref, pos0, mb)
-        st_ref[0:1, :] = state0.astype(jnp.int32)
-        st_ref[1:2, :] = pos1
+        v_hi, fp = _fetch(words_ref, pos0, jnp.full_like(pos0, 32))
+        v_lo, fp = _fetch(words_ref, fp, jnp.full_like(pos0, 32))
+        state0 = _top_bits(v_hi, mb_u).astype(jnp.int32) & tmask
+        hi, lo = _consume(v_hi, v_lo, mb_u)
+        st_ref[0:1, :] = state0
+        st_ref[1:2, :] = pos0 - mb
         st_ref[2:3, :] = (pos0 >= 0).astype(jnp.int32)
+        st_ref[3:4, :] = hi.astype(jnp.int32)
+        st_ref[4:5, :] = lo.astype(jnp.int32)
+        st_ref[5:6, :] = fp
+        st_ref[6:7, :] = mb  # init consumed mb bits
 
-    def step(k, carry):
-        state, pos, ok = carry
-        i = pid * LIT_CHUNK + k
-        active = (i < nsym).astype(jnp.int32)
-
-        entry = _lookup(tab_ref, state)
+    def sym_step(i, st):
+        # Ungated except bit consumption: inactive lanes consume 0 bits so
+        # their state/container/vpos freeze; garbage symbols past nsym are
+        # dropped by the caller's masked scatter. Per-step validity checks
+        # are unnecessary: vpos is monotonic, so the final vpos == -mb test
+        # subsumes every intermediate bound.
+        state, vpos, hi, lo, used = st
+        pair = _lookup(tab_ref, state >> 1)
+        entry = jnp.where(state & 1 == 1, pair >> 16, pair & 0xFFFF)
         sym = entry & 0xFF
-        nb = (entry >> 8) * active
-        bits, new_pos = _fetch(words_ref, pos, nb)
-        new_state = (((state << nb) & tmask)
-                     | bits.astype(jnp.int32))
-        # every emitted symbol must start from pos > -max_bits
-        ok = jnp.where(active == 1, ok & (pos > -mb).astype(jnp.int32), ok)
-        lit_out[pl.ds(k, 1), :] = sym * active
-        state = jnp.where(active == 1, new_state, state)
-        return state, new_pos, ok
+        nb = (entry >> 8) * ((i < nsym).astype(jnp.int32))
+        nb_u = nb.astype(_U32)
+        bits = _top_bits(hi, nb_u).astype(jnp.int32)
+        state = ((state << nb) & tmask) | bits
+        hi, lo = _consume(hi, lo, nb_u)
+        return sym, (state, vpos - nb, hi, lo, used + nb)
 
-    carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
-    state, pos, ok = jax.lax.fori_loop(0, LIT_CHUNK, step, carry)
+    def group(g, carry):
+        state, vpos, ok, hi, lo, fp, used = carry
+        # refill first: `used` <= 22 bits are free at the container bottom
+        newbits, fp = _fetch(words_ref, fp, used)
+        lo = lo | newbits
+        used = jnp.zeros_like(used)
+
+        k = g * 2
+        i = pid * LIT_CHUNK + k
+        out0, st = sym_step(i, (state, vpos, hi, lo, used))
+        out1, st = sym_step(i + 1, st)
+        state, vpos, hi, lo, used = st
+        lit_out[pl.ds(k, 1), :] = out0
+        lit_out[pl.ds(k + 1, 1), :] = out1
+        return state, vpos, ok, hi, lo, fp, used
+
+    carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],
+             st_ref[3:4, :].astype(_U32), st_ref[4:5, :].astype(_U32),
+             st_ref[5:6, :], st_ref[6:7, :])
+    state, vpos, ok, hi, lo, fp, used = jax.lax.fori_loop(
+        0, LIT_CHUNK // 2, group, carry)
     st_ref[0:1, :] = state
-    st_ref[1:2, :] = pos
+    st_ref[1:2, :] = vpos
     st_ref[2:3, :] = ok
-    # valid stream: bits exactly exhausted (pos lands on -max_bits)
-    ok_ref[0:1, :] = ((ok == 1) & (pos == -mb) | (nsym <= 0)).astype(jnp.int32)
+    st_ref[3:4, :] = hi.astype(jnp.int32)
+    st_ref[4:5, :] = lo.astype(jnp.int32)
+    st_ref[5:6, :] = fp
+    st_ref[6:7, :] = used
+    # valid stream: bits exactly exhausted (vpos lands on -max_bits)
+    ok_ref[0:1, :] = ((ok == 1) & (vpos == -mb)
+                      | (nsym <= 0)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_symbols", "interpret"))
@@ -86,6 +147,9 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
     by = by.reshape(B, Nw, 4)
     words = (by[:, :, 0] | (by[:, :, 1] << 8) | (by[:, :, 2] << 16)
              | (by[:, :, 3] << 24)).astype(jnp.int32)
+    # pack table entry pairs: row r = entry(2r) | entry(2r+1) << 16
+    t32 = tables.astype(jnp.int32)
+    packed = t32[:, 0::2] | (t32[:, 1::2] << 16)  # (B, TW//2)
 
     n_chunks = max(1, (max_symbols + LIT_CHUNK - 1) // LIT_CHUNK)
     S = n_chunks * LIT_CHUNK
@@ -96,19 +160,17 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                                       pipeline_mode=pl.Buffered(1),
                                       memory_space=pltpu.VMEM)
     lit_o, okv = pl.pallas_call(
-        functools.partial(_huff_kernel, Nw=Nw, B=B, TW=TW,
-                          n_chunks=n_chunks),
+        functools.partial(_huff_kernel, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((TW, B)), full((1, B))],
+                  full((TW // 2, B)), full((1, B))],
         out_specs=(pl.BlockSpec((LIT_CHUNK, B), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM), full((1, B))),
         out_shape=(jax.ShapeDtypeStruct((S, B), jnp.int32),
                    jax.ShapeDtypeStruct((1, B), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((8, B), jnp.int32)],
         interpret=interpret,
-    )(words.T, row(init_pos), row(n_symbols),
-      tables.astype(jnp.int32).T, row(max_bits))
+    )(words.T, row(init_pos), row(n_symbols), packed.T, row(max_bits))
 
     ok = (okv[0] == 1) & (init_pos >= 0) | (n_symbols <= 0)
     lits = lit_o[:max_symbols].T.astype(jnp.uint8)

@@ -71,8 +71,12 @@ def _fetch(w_ref, pos, n):
     mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << n_u) - 1)
     val = (lo | hi) & mask
-    phantom = (start - new_pos).astype(jnp.uint32)
-    val = jnp.where(n > 0, (val << phantom) & mask, jnp.uint32(0))
+    # reads fully below bit 0 (e.g. 64-bit container prefill on a tiny
+    # stream) have phantom >= 32: the hardware shift would wrap, so force 0.
+    # n == 0 yields 0 via the mask — no extra select needed.
+    phantom = start - new_pos
+    ph_u = jnp.minimum(phantom, 31).astype(jnp.uint32)
+    val = jnp.where(phantom >= 32, jnp.uint32(0), (val << ph_u) & mask)
     return val, new_pos
 
 
@@ -165,15 +169,17 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         s_ml2 = (e_ml >> 16) + b_ml
         s_of2 = (e_of >> 16) + b_of
 
-        ok = jnp.where(active == 1, ok & (pos >= 0).astype(jnp.int32)
-                       & code_ok.astype(jnp.int32), ok)
+        # pos is monotonic, so the final pos == 0 test subsumes per-step
+        # pos >= 0 checks; garbage outputs past nseq are dropped by the
+        # caller's masked scatter (no need to zero them here)
+        ok = ok & (code_ok.astype(jnp.int32) | (1 - active))
         s_ll = jnp.where(active == 1, s_ll2, s_ll)
         s_ml = jnp.where(active == 1, s_ml2, s_ml)
         s_of = jnp.where(active == 1, s_of2, s_of)
 
-        ll_out[pl.ds(k, 1), :] = ll * active
-        ml_out[pl.ds(k, 1), :] = ml * active
-        of_out[pl.ds(k, 1), :] = ofv * active
+        ll_out[pl.ds(k, 1), :] = ll
+        ml_out[pl.ds(k, 1), :] = ml
+        of_out[pl.ds(k, 1), :] = ofv
         return s_ll, s_of, s_ml, pos, ok
 
     carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],

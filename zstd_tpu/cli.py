@@ -35,14 +35,22 @@ def _progress(done: int, total: int, t0: float) -> None:
 
 
 def cmd_compress(args) -> int:
-    from zstd_tpu.encoding.frame_enc import compress_to_vec
-
     out_path = args.output or args.input + ".zst"
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.time()
     level = _LEVELS[args.level]
-    z = compress_to_vec(data, level)
+    if getattr(args, "tpu", False):
+        from zstd_tpu.common.config import CodecConfig
+        from zstd_tpu.encoding.device_matcher import DeviceMatcher
+        from zstd_tpu.models.batch_encoder import BatchEncoder
+
+        enc = BatchEncoder(CodecConfig(level=level), matcher=DeviceMatcher())
+        (z,) = enc.compress_frames([data])
+    else:
+        from zstd_tpu.encoding.frame_enc import compress_to_vec
+
+        z = compress_to_vec(data, level)
     dt = time.time() - t0
     with open(out_path, "wb") as f:
         f.write(z)
@@ -97,6 +105,8 @@ def main(argv=None) -> int:
     c.add_argument("input")
     c.add_argument("output", nargs="?")
     c.add_argument("-l", "--level", type=int, default=1, choices=sorted(_LEVELS))
+    c.add_argument("--tpu", action="store_true",
+                   help="device match finding + batched entropy coding")
     c.set_defaults(fn=cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a file")

@@ -205,11 +205,16 @@ def _exec_bucket(ll_full, ml_full, offsets, lit_full, out_len, idx,
         out_len[idx], out_width)
 
 
-@functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_width", "lit_width", "interpret"))
 def _exec_bucket_pallas(ll_full, ml_full, offsets, lit_full, out_len, idx,
-                        out_width: int, interpret: bool = False):
+                        out_width: int, lit_width: int = 0,
+                        interpret: bool = False):
+    lits = lit_full[idx]
+    if lit_width and lit_width < lits.shape[1]:
+        lits = lits[:, :lit_width]
     return execute_sequences_pallas(
-        ll_full[idx], ml_full[idx], offsets[idx], lit_full[idx],
+        ll_full[idx], ml_full[idx], offsets[idx], lits,
         out_len[idx], out_width, interpret=interpret)
 
 
@@ -335,45 +340,78 @@ class BatchDecoder:
         with scope("offset_resolution"):
             offsets, out_len, res_ok, nseq = _resolve(
                 ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
-        out_len_h = np.asarray(out_len)
-        nseq_h = np.asarray(nseq)
-        ok_h = np.asarray(frame_ok & res_ok).copy()
+        ok_dev = frame_ok & res_ok
 
-        # --- stage 3: execution, bucketed by real output size ------------------
-        # Pallas per-lane executor on real TPUs for lanes whose sequence
-        # records fit its SMEM block; XLA pointer-doubling for the rest.
+        # --- stage 3: execution, bucketed by output size ------------------------
+        # Bucket sizing/routing uses HOST-known per-frame bounds (FCS or the
+        # block-sum upper bound, and the framer's sequence-slot counts) so no
+        # device round-trip interrupts the async queue; the exec kernels
+        # consume the exact device out_len. Pallas per-lane executor where
+        # the records fit its SMEM block; XLA pointer-doubling otherwise.
+        bound_h = batch.out_len
+        nseq_bound = batch.frame_nseq
+        lit_len_h = [m.lit_len for m in batch.metas] + [0]
         outputs = [None] * Bf
         live = list(range(frame_inert))  # skip the inert frame row
-        pl_live = [i for i in live
-                   if pallas_ok and nseq_h[i] <= MAX_SMEM_SEQS]
-        xla_live = [i for i in live if i not in set(pl_live)]
+        # Pallas exec eligibility: sequence records fit SMEM and the
+        # out + literal blocks fit VMEM (no-FCS multi-block frames can
+        # carry bounds far above their true size).
+        exec_cap = (PALLAS_VMEM_BUDGET // 3) // (128 * 4 * 2) * 128
+
+        def split(sizes):
+            pl = [i for i in live
+                  if pallas_ok and nseq_bound[i] <= MAX_SMEM_SEQS
+                  and sizes[i] <= exec_cap and lit_len_h[i] <= exec_cap]
+            return pl, [i for i in live if i not in set(pl)]
+
+        pl_live, xla_live = split(bound_h)
+        if xla_live:
+            # a lane exceeded the budget on its host UPPER BOUND (no-FCS
+            # multi-block frames carry bounds far above their true size):
+            # pay one device sync for the exact lengths and re-split —
+            # the XLA executor's doubling arrays at bound width would
+            # otherwise exhaust HBM.
+            bound_h = np.asarray(out_len)
+            pl_live, xla_live = split(bound_h)
         plans = []
         if pl_live:
             for (w, _), rows in _buckets(
-                    [max(int(out_len_h[i]), 1) for i in pl_live],
+                    [max(int(bound_h[i]), 1) for i in pl_live],
                     [1] * len(pl_live), self.max_bucket_elems, q=1):
                 plans.append((w, [pl_live[r] for r in rows], True))
         if xla_live:
             for (w, _), rows in _buckets(
-                    [max(int(out_len_h[i]), 1) for i in xla_live],
+                    [max(int(bound_h[i]), 1) for i in xla_live],
                     [1] * len(xla_live), self.max_bucket_elems):
                 plans.append((w, [xla_live[r] for r in rows], False))
+        pending = []
         for w, rows, use_pl in plans:
             idx = _pad_idx(rows, frame_inert, 128 if use_pl else 4)
-            exec_fn = _exec_bucket_pallas if use_pl else _exec_bucket
             with scope(f"lz77_execute_{w}"):
-                out_b, exec_ok = exec_fn(
-                    ll_full, ml_full, offsets, lit_full, out_len,
-                    jnp.asarray(idx), out_width=w)
+                if use_pl:
+                    lw = _pow2(max(max(lit_len_h[i] for i in rows), 1))
+                    out_b, exec_ok = _exec_bucket_pallas(
+                        ll_full, ml_full, offsets, lit_full, out_len,
+                        jnp.asarray(idx), out_width=w,
+                        lit_width=min(lw, lit_full.shape[1]))
+                else:
+                    out_b, exec_ok = _exec_bucket(
+                        ll_full, ml_full, offsets, lit_full, out_len,
+                        jnp.asarray(idx), out_width=w)
+            ok_dev = ok_dev.at[jnp.asarray(idx)].min(exec_ok)
+            pending.append((rows, out_b))
+
+        # single host sync for the whole pipeline
+        lens_ok = jnp.concatenate(
+            [out_len, ok_dev.astype(jnp.int32)])
+        lens_ok_h = np.asarray(lens_ok)
+        out_len_h = lens_ok_h[:Bf]
+        ok_h = lens_ok_h[Bf:].astype(bool)
+        for rows, out_b in pending:
             if pull_outputs:
                 out_b = np.asarray(out_b)
-                exec_ok = np.asarray(exec_ok)
-            else:
-                jax.block_until_ready(out_b)
-                exec_ok = np.asarray(exec_ok)
             for r, lane in enumerate(rows):
                 outputs[lane] = out_b[r]
-                ok_h[lane] &= exec_ok[r]
         return outputs[:frame_inert], out_len_h[:frame_inert], ok_h[:frame_inert]
 
     def decode_frames(self, frames: list) -> list:

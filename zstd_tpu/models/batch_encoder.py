@@ -49,10 +49,17 @@ class _SeqLane:
 
 
 class BatchEncoder:
-    """Compress many payloads, device-batched entropy coding."""
+    """Compress many payloads, device-batched entropy coding.
 
-    def __init__(self, config: CodecConfig | None = None):
+    matcher=None uses the host greedy matcher (byte-identical to the host
+    FrameCompressor); pass encoding.device_matcher.DeviceMatcher() to run
+    match finding on the TPU too (valid streams, gated by round-trip /
+    interop / size rather than stream equality).
+    """
+
+    def __init__(self, config: CodecConfig | None = None, matcher=None):
         self.config = config or CodecConfig()
+        self.matcher = matcher
 
     def compress_frames(self, payloads: list) -> list:
         level = self.config.level
@@ -60,6 +67,14 @@ class BatchEncoder:
             from zstd_tpu.encoding.frame_enc import compress_to_vec
 
             return [compress_to_vec(p, level) for p in payloads]
+        if self.matcher is not None and hasattr(self.matcher, "precompute"):
+            blocks = []
+            for p in payloads:
+                for off in range(0, len(p), BLOCK_SIZE):
+                    blk = p[off:off + BLOCK_SIZE]
+                    if blk and blk.count(blk[0]) != len(blk):
+                        blocks.append(blk)
+            self.matcher.precompute(blocks)
         if level != CompressionLevel.FASTEST:
             raise NotImplementedError(f"level {level.name} not implemented")
 
@@ -110,7 +125,8 @@ class BatchEncoder:
         simulated state bits) so the raw-vs-compressed decision — and the
         repeat-offset history commit — happen before any device work,
         keeping output byte-identical to the host FrameCompressor."""
-        seqs = find_sequences(block)
+        seqs = (self.matcher.find(block) if self.matcher is not None
+                else find_sequences(block))
         lits = b"".join(s.literals for s in seqs)
 
         # literals representation + exact section size

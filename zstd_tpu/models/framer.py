@@ -83,7 +83,8 @@ class DeviceBatch:
     ml_base: np.ndarray        # (Bf, S) i32
     of_base: np.ndarray        # (Bf, S) i32
     is_real: np.ndarray        # (Bf, S) bool
-    out_len: np.ndarray        # (Bf,) i32
+    out_len: np.ndarray        # (Bf,) i32 (FCS or upper bound per frame)
+    frame_nseq: np.ndarray     # (Bf,) i32 sequence slots used per frame
     metas: list  # FrameMeta per frame
     out_width: int
     max_huff_symbols: int
@@ -370,6 +371,7 @@ class Framer:
         of_base = np.zeros((Bf, seq_w), np.int32)
         is_real = np.zeros((Bf, seq_w), bool)
         out_len = np.zeros(Bf, np.int32)
+        frame_nseq = np.zeros(Bf, np.int32)
         for i, f in enumerate(self.frames):
             for off, chunk in f["lit_parts"]:
                 lit_base[i, off:off + len(chunk)] = np.frombuffer(chunk, np.uint8)
@@ -378,6 +380,7 @@ class Framer:
                 ml_base[i, slot] = ml
                 of_base[i, slot] = of
             out_len[i] = f["fcs"] if f["fcs"] is not None else f["out_bound"]
+            frame_nseq[i] = f["seq_cursor"]
 
         # huffman lanes (+1 inert row: bucket padding gathers point at it)
         Bs = len(self.huff_lanes) + 1
@@ -449,5 +452,6 @@ class Framer:
             seq_len=seq_len,
             lit_base=lit_base, ll_base=ll_base, ml_base=ml_base,
             of_base=of_base, is_real=is_real, out_len=out_len,
+            frame_nseq=frame_nseq,
             metas=self.metas, out_width=out_w,
             max_huff_symbols=max_sym, max_seqs=max_seqs)

@@ -55,23 +55,21 @@ def _copy_chunked(src_ref, out_ref, sb, db, n, rows_k: int, src_rows: int):
     rd0 = db >> 7
     iters = ((db + n - 1) >> 7) - rd0 + 1
     iters = (iters + rows_k - 1) // rows_k
-    rmax = src_rows - rows_k
+    rmax = src_rows - rows_k - 1
     jj = jax.lax.broadcasted_iota(jnp.int32, (rows_k, 128), 1)
     rr = jax.lax.broadcasted_iota(jnp.int32, (rows_k, 128), 0)
 
     def body(c, _):
         rd = rd0 + c * rows_k
         rs = rd + q
-        # rs can be -1 on the first chunk (src bytes below 0 are masked off);
-        # a plain clamp would shift the whole window, so roll the rows down
-        # by one instead — the garbage lands in row 0, which only feeds
-        # masked positions.
-        a = src_ref[0, pl.ds(jnp.clip(rs, 0, rmax), rows_k), :]
-        a = jnp.where(rs < 0, pltpu.roll(a, 1, axis=0), a)
-        b = src_ref[0, pl.ds(jnp.clip(rs + 1, 0, rmax), rows_k), :]
-        ar = pltpu.roll(a, sh, axis=1)
-        br = pltpu.roll(b, sh, axis=1)
-        val = jnp.where(jj < 128 - m, ar, br)
+        # one (rows_k+1, 128) load + one roll serve both source row-sets.
+        # rs can be -1 on the first chunk (src bytes below 0 are masked
+        # off); a plain clamp would shift the whole window, so roll the
+        # rows down by one instead — garbage lands in a masked row.
+        blk = src_ref[0, pl.ds(jnp.clip(rs, 0, rmax), rows_k + 1), :]
+        blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
+        rot = pltpu.roll(blk, sh, axis=1)
+        val = jnp.where(jj < 128 - m, rot[0:rows_k], rot[1:rows_k + 1])
         d = 128 * rd + 128 * rr + jj
         mask = (d >= db) & (d < db + n)
         cur = out_ref[0, pl.ds(rd, rows_k), :]
@@ -92,11 +90,9 @@ def _fill_periodic(out_ref, db, off, n):
     rowp = jnp.maximum(pb >> 7, 0)
     mp = pb & 127
     shp = (128 - mp) & 127
-    a = out_ref[0, pl.ds(rowp, 1), :]
-    b = out_ref[0, pl.ds(rowp + 1, 1), :]
+    rot = pltpu.roll(out_ref[0, pl.ds(rowp, 2), :], shp, axis=1)
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    pat = jnp.where(jrow < 128 - mp, pltpu.roll(a, shp, axis=1),
-                    pltpu.roll(b, shp, axis=1))  # (1, 128); [j] valid j < off
+    pat = jnp.where(jrow < 128 - mp, rot[0:1], rot[1:2])  # [j] valid j < off
 
     rd0 = db >> 7
     iters = ((db + n - 1) >> 7) - rd0 + 1
@@ -122,9 +118,71 @@ def _fill_periodic(out_ref, db, off, n):
     jax.lax.fori_loop(0, iters, body, 0)
 
 
+SEQ_CHUNK = 4096  # records per grid step; larger SMEM blocks measurably
+                  # slow the dynamic scalar reads that pace the seq loop
+
+
+def _copy_short(src_ref, out_ref, sb, db, n, src_rows: int):
+    """Single-chunk copy for runs spanning <= 2 dst rows (n <= 129 worst
+    case; callers bound n <= 128). Same two-source roll trick as
+    _copy_chunked but without the loop — short runs dominate real data and
+    the per-copy fixed cost is what paces the kernel."""
+    delta = sb - db
+    q = delta >> 7
+    m = delta & 127
+    sh = (128 - m) & 127
+    rd = db >> 7
+    rs = rd + q
+    # one (3,128) load + one roll serve both source row-pairs: A = rows
+    # 0..1, B = rows 1..2 of the rolled block. rs = -1 is handled by a
+    # sublane roll (garbage lands in a masked row).
+    blk = src_ref[0, pl.ds(jnp.clip(rs, 0, src_rows - 3), 3), :]
+    blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
+    rot = pltpu.roll(blk, sh, axis=1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+    val = jnp.where(jj < 128 - m, rot[0:2], rot[1:3])
+    d = 128 * rd + 128 * rr + jj
+    mask = (d >= db) & (d < db + n)
+    cur = out_ref[0, pl.ds(rd, 2), :]
+    out_ref[0, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+
+
+def _fill_periodic_short(out_ref, db, off, n):
+    """Periodic fill for matches spanning <= 2 dst rows: one (2,128,128)
+    one-hot instead of the K-row loop's (8,128,128) per chunk."""
+    pb = db - off
+    rowp = jnp.maximum(pb >> 7, 0)
+    mp = pb & 127
+    shp = (128 - mp) & 127
+    rot = pltpu.roll(out_ref[0, pl.ds(rowp, 2), :], shp, axis=1)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pat = jnp.where(jrow < 128 - mp, rot[0:1], rot[1:2])
+    rd = db >> 7
+    jj = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+    p3 = jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2)
+    d = 128 * rd + 128 * rr + jj
+    ph = (d - db + (off << 14)) % off
+    oh = p3 == ph[:, :, None]
+    val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
+    mask = (d >= db) & (d < db + n)
+    cur = out_ref[0, pl.ds(rd, 2), :]
+    out_ref[0, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+
+
 def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
-                 lit_rows: int, out_rows: int):
+                 cur_ref, lit_rows: int, out_rows: int):
+    c = pl.program_id(1)
     nseq = ns_ref[0, 0, 0]
+
+    @pl.when(c == 0)
+    def _():
+        cur_ref[0] = 0  # out cursor
+        cur_ref[1] = 0  # literal cursor
+
+    base = c * SEQ_CHUNK
+    count = jnp.clip(nseq - base, 0, SEQ_CHUNK)
 
     def seq_body(i, carry):
         op, lp = carry
@@ -132,27 +190,46 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
         ml = ml_ref[0, 0, i]
         off = of_ref[0, 0, i]
 
-        @pl.when(ll > 0)
+        # a run spans <= 2 dst rows iff (dst&127) + n <= 256
+        @pl.when((ll > 0) & ((op & 127) + ll <= 256))
+        def _():
+            _copy_short(lit_ref, out_ref, lp, op, ll, lit_rows)
+
+        @pl.when((op & 127) + ll > 256)
         def _():
             _copy_chunked(lit_ref, out_ref, lp, op, ll, _K, lit_rows)
 
         opm = op + ll
+        short_m = (opm & 127) + ml <= 256
 
-        @pl.when((ml > 0) & (off >= 128 * _K))
+        @pl.when((ml > 0) & (off >= 128) & short_m & (off >= ml))
+        def _():
+            _copy_short(out_ref, out_ref, opm - off, opm, ml, out_rows)
+
+        @pl.when((ml > 0) & (off >= 128 * _K)
+                 & ~(short_m & (off >= ml)))
         def _():
             _copy_chunked(out_ref, out_ref, opm - off, opm, ml, _K, out_rows)
 
-        @pl.when((ml > 0) & (off >= 128) & (off < 128 * _K))
+        @pl.when((ml > 0) & (off >= 128) & (off < 128 * _K)
+                 & ~(short_m & (off >= ml)))
         def _():
             _copy_chunked(out_ref, out_ref, opm - off, opm, ml, 1, out_rows)
 
-        @pl.when((ml > 0) & (off < 128))
+        @pl.when((ml > 0) & (off < 128) & short_m)
+        def _():
+            _fill_periodic_short(out_ref, opm, off, ml)
+
+        @pl.when((ml > 0) & (off < 128) & ~short_m)
         def _():
             _fill_periodic(out_ref, opm, off, ml)
 
         return opm + ml, lp + ll
 
-    op, lp = jax.lax.fori_loop(0, nseq, seq_body, (jnp.int32(0), jnp.int32(0)))
+    op, lp = jax.lax.fori_loop(0, count, seq_body,
+                               (cur_ref[0], cur_ref[1]))
+    cur_ref[0] = op
+    cur_ref[1] = lp
     ok_ref[0, 0, 0] = op
 
 
@@ -188,7 +265,8 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     ok = ok & (nseq <= MAX_SMEM_SEQS)
     nseq = jnp.where(ok, nseq, 0)
 
-    s_pad = min(max(8, S), MAX_SMEM_SEQS)
+    n_chunks = max(1, -(-min(S, MAX_SMEM_SEQS) // SEQ_CHUNK))
+    s_pad = n_chunks * SEQ_CHUNK
 
     def rec3(x):
         x = x[:, :s_pad]
@@ -200,28 +278,29 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     lit_i32 = jnp.pad(literals, ((0, 0), (0, lit_pad))).astype(
         jnp.int32).reshape(B, lit_rows, 128)
 
-    smem_rec = pl.BlockSpec((1, 1, s_pad), lambda l: (l, 0, 0),
+    smem_rec = pl.BlockSpec((1, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
     out_i32, endp = pl.pallas_call(
         functools.partial(_exec_kernel, lit_rows=lit_rows, out_rows=out_rows),
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
             smem_rec, smem_rec, smem_rec,
-            pl.BlockSpec((1, 1, 1), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, lit_rows, 128), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, lit_rows, 128), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, out_rows, 128), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, out_rows, 128), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(rec3(ll), rec3(ml), rec3(offset), nseq[:, None, None], lit_i32)
 

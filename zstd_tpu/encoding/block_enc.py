@@ -170,11 +170,20 @@ def _sim_bits(table, codes) -> int:
     each later symbol emits state bits, flush emits table_log)."""
     enc = fse_enc.FSEEncoder(table)
     enc.init_state(codes[-1])
+    state = enc.state
+    try:
+        from zstd_tpu.runtime import fse_sim_bits
+
+        r = fse_sim_bits(codes, table.delta_nb_bits, table.delta_find_state,
+                         table.next_state, state, table.table_log)
+        if r is not None:
+            return r
+    except Exception:
+        pass
     bits = 0
     nbt = table.delta_nb_bits
     fst = table.delta_find_state
     ns = table.next_state
-    state = enc.state
     for c in reversed(codes[:-1]):
         nb = (state + int(nbt[c])) >> 16
         bits += nb

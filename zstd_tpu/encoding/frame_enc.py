@@ -15,7 +15,7 @@ from zstd_tpu.common import constants as C
 from zstd_tpu.common.config import CodecConfig, CompressionLevel
 from zstd_tpu.common.errors import EncodeError
 from zstd_tpu.encoding.block_enc import compress_block
-from zstd_tpu.utils.xxhash64 import Xxh64
+from zstd_tpu.utils.xxhash64 import FastXxh64 as Xxh64
 
 BLOCK_SIZE = C.MAX_BLOCK_SIZE  # 128 KiB spaces, like the reference matcher
 

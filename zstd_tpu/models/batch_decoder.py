@@ -172,12 +172,38 @@ def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
             ml_tables, ll_logs, of_logs, ml_logs, max_seqs)
     seq_w = ll_full.shape[1]
     k = jnp.arange(max_seqs, dtype=jnp.int32)[None, :]
-    col = dst_off[:, None] + k
-    col = jnp.where(k < n[:, None], col, seq_w)
-    ll_full = ll_full.at[dst_frame[:, None], col].set(ll_l, mode="drop")
-    ml_full = ml_full.at[dst_frame[:, None], col].set(ml_l, mode="drop")
-    of_full = of_full.at[dst_frame[:, None], col].set(of_l, mode="drop")
-    used = jnp.sum(jnp.where(k < n[:, None], ll_l, 0), axis=1)
+    act = k < n[:, None]
+    ll_l = jnp.where(act, ll_l, 0)
+    ml_l = jnp.where(act, ml_l, 0)
+    of_l = jnp.where(act, of_l, 0)
+    if max_seqs % 128 == 0 and seq_w % 128 == 0:
+        # the framer 128-aligns block slot ranges: scatter whole 128-slot
+        # rows (~40x faster than element scatters); zeros land in the
+        # inert gap slots of each lane's own span
+        B = ll_l.shape[0]
+        RW = seq_w // 128
+        kr = jnp.arange(max_seqs // 128, dtype=jnp.int32)[None, :]
+        nrows = (n + 127) >> 7
+        dst_row = dst_frame[:, None] * RW + (dst_off[:, None] >> 7) + kr
+        dst_row = jnp.where(kr < nrows[:, None], dst_row,
+                            ll_full.shape[0] * RW).reshape(-1)
+
+        def rscat(full, lane_vals):
+            flat = full.reshape(-1, 128)
+            lr = lane_vals.reshape(B * (max_seqs // 128), 128)
+            return flat.at[dst_row].set(lr, mode="drop").reshape(
+                full.shape[0], seq_w)
+
+        ll_full = rscat(ll_full, ll_l)
+        ml_full = rscat(ml_full, ml_l)
+        of_full = rscat(of_full, of_l)
+    else:
+        col = dst_off[:, None] + k
+        col = jnp.where(act, col, seq_w)
+        ll_full = ll_full.at[dst_frame[:, None], col].set(ll_l, mode="drop")
+        ml_full = ml_full.at[dst_frame[:, None], col].set(ml_l, mode="drop")
+        of_full = of_full.at[dst_frame[:, None], col].set(of_l, mode="drop")
+    used = jnp.sum(ll_l, axis=1)
     trailing = lit_total - used
     ok = ok & (trailing >= 0)
     ll_full = ll_full.at[dst_frame, trail_slot].set(
@@ -410,8 +436,13 @@ class BatchDecoder:
         for rows, out_b in pending:
             if pull_outputs:
                 out_b = np.asarray(out_b)
-            for r, lane in enumerate(rows):
-                outputs[lane] = out_b[r]
+                for r, lane in enumerate(rows):
+                    outputs[lane] = out_b[r]
+            else:
+                # leave device-resident; per-row device slicing would cost a
+                # dispatch per lane. Consumers use (bucket, row) handles.
+                for r, lane in enumerate(rows):
+                    outputs[lane] = (out_b, r)
         return outputs[:frame_inert], out_len_h[:frame_inert], ok_h[:frame_inert]
 
     def decode_frames(self, frames: list) -> list:

@@ -32,7 +32,7 @@ from zstd_tpu.encoding.match_gen import find_sequences
 from zstd_tpu.ops.bitpack import finalize_streams, pack_bits_lanes
 from zstd_tpu.ops.fse_encode import encode_sequence_lanes, pack_encode_table
 from zstd_tpu.utils.bitio import BitWriter
-from zstd_tpu.utils.xxhash64 import Xxh64
+from zstd_tpu.utils.xxhash64 import FastXxh64 as Xxh64
 
 
 @dataclasses.dataclass

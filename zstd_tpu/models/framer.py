@@ -309,9 +309,16 @@ class Framer:
         if not bitstream:
             raise ZstdError("empty sequences bitstream")
 
-        dst = fr["seq_cursor"]
-        fr["seq_cursor"] += sh.num_sequences
+        # 128-align device-scattered slot ranges: the decoder then scatters
+        # whole 128-slot rows (40x faster than element scatters on TPU).
+        # The scatter zero-fills its full row span, so nothing else may live
+        # inside [dst, dst + roundup128(n)) except the trail slot (written
+        # after the scatter); the cursor jumps past the span afterwards.
+        dst = (fr["seq_cursor"] + 127) & ~127
+        fr["seq_cursor"] = dst + sh.num_sequences
         trail_slot = self._add_synthetic(fr, ll=0, ml=0, of=0)  # device fills ll
+        span_end = dst + ((sh.num_sequences + 127) & ~127)
+        fr["seq_cursor"] = max(fr["seq_cursor"], span_end)
         self.seq_lanes.append(dict(
             stream=bitstream, pos=host_initial_position(bitstream),
             n=sh.num_sequences, ll=cur_ll, of=cur_of, ml=cur_ml,
@@ -360,7 +367,7 @@ class Framer:
         # +1 inert frame row: execution-bucket padding gathers point at it
         Bf = len(self.frames) + 1
         lit_w = _round_pow2(max((f["lit_cursor"] for f in self.frames), default=1))
-        seq_w = _round_pow2(max((f["seq_cursor"] for f in self.frames), default=1), lo=4)
+        seq_w = _round_pow2(max((f["seq_cursor"] for f in self.frames), default=1), lo=128)
         bounds = [f["fcs"] if f["fcs"] is not None else f["out_bound"]
                   for f in self.frames] or [1]
         out_w = _round_pow2(max(bounds))

@@ -94,15 +94,46 @@ def _lut(lut_col, code):
     return jnp.sum(jnp.where(oh, lut_col, 0), axis=0, keepdims=True)
 
 
+def _fetch_window(w_ref, base):
+    """Four consecutive words starting at per-lane word index `base`.
+
+    One scan of the (Nw, B) array: one subtract, four narrow compares +
+    masked reductions — replaces three separate 2-word fetches per step.
+    """
+    W = w_ref[:]
+    d = jax.lax.broadcasted_iota(jnp.int32, W.shape, 0) - base
+    v = []
+    for k in range(4):
+        v.append(jnp.sum(jnp.where(d == k, W, 0), axis=0,
+                         keepdims=True).astype(jnp.uint32))
+    return v
+
+
+def _extract(v, o, n):
+    """Bits [o, o+n) (n <= 32) of the 128-bit window v (list of 4 u32).
+
+    o is a per-lane (1, B) bit offset within the window (0..95); the double
+    shift realizes the n- and o-dependent shifts branchlessly.
+    """
+    e = o >> 5
+    b = (o & 31).astype(jnp.uint32)
+    lo = jnp.where(e == 0, v[0], jnp.where(e == 1, v[1], v[2]))
+    hi = jnp.where(e == 0, v[1], jnp.where(e == 1, v[2], v[3]))
+    val = (lo >> b) | jnp.where(b == 0, jnp.uint32(0),
+                                hi << (jnp.uint32(32) - b))
+    n_u = n.astype(jnp.uint32)
+    mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n_u) - 1)
+    return (val & mask).astype(jnp.int32)
+
+
 def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
                 mltab_ref, lllog_ref, oflog_ref, mllog_ref, luts_ref,
                 ll_out, ml_out, of_out, okpos_ref,
                 st_ref, Nw: int, B: int, n_chunks: int):
     pid = pl.program_id(0)
-    ll_base = luts_ref[:, 0:1]
-    ll_xtra = luts_ref[:, 1:2]
-    ml_base = luts_ref[:, 2:3]
-    ml_xtra = luts_ref[:, 3:4]
+    ll_pack = luts_ref[:, 0:1]   # base | xtra << 24
+    ml_pack = luts_ref[:, 1:2]
 
     @pl.when(pid == 0)
     def _():
@@ -139,35 +170,44 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         ml_code = jnp.minimum(ml_code, 52)
         ll_code = jnp.minimum(ll_code, 35)
 
-        # extras: OF (one <=31-bit read), then ML+LL fused (<=32 bits, the
-        # ML field sits above the LL field in the read window)
-        nb = of_code * active
-        r_of, pos = _fetch(words_ref, pos, nb)
-        ofv = (jnp.int32(1) << of_code) + r_of.astype(jnp.int32)
-
-        nb_mlx = _lut(ml_xtra, ml_code) * active
-        nb_llx = _lut(ll_xtra, ll_code) * active
-        r2, pos = _fetch(words_ref, pos, nb_mlx + nb_llx)
-        r2 = r2.astype(jnp.int32)
-        llmask = (jnp.int32(1) << nb_llx) - 1
-        ml = _lut(ml_base, ml_code) + ((r2 >> nb_llx) &
-                                               ((jnp.int32(1) << nb_mlx) - 1))
-        ll = _lut(ll_base, ll_code) + (r2 & llmask)
-
-        # state updates LL -> ML -> OF (one fused <=26-bit read; LL bits are
-        # the high field), skipped after the final sequence
+        # all of the step's bit reads come from ONE 4-word window fetch:
+        # [from top] OF extras | ML extras | LL extras | LL/ML/OF state bits
+        lv = _lut(ll_pack, ll_code)
+        mv = _lut(ml_pack, ml_code)
+        nb_ofx = of_code * active
+        nb_mlx = (mv >> 24) * active
+        nb_llx = (lv >> 24) * active
+        nb2 = nb_mlx + nb_llx
         upd = jnp.where(not_last, active, 0)
         nb_ll = ((e_ll >> 8) & 0xFF) * upd
         nb_ml = ((e_ml >> 8) & 0xFF) * upd
         nb_of = ((e_of >> 8) & 0xFF) * upd
-        r3, pos = _fetch(words_ref, pos, nb_ll + nb_ml + nb_of)
-        r3 = r3.astype(jnp.int32)
+        nbs = nb_ll + nb_ml + nb_of
+
+        new_pos = pos - (nb_ofx + nb2 + nbs)
+        start = jnp.maximum(new_pos, 0)
+        base = start >> 5
+        v = _fetch_window(words_ref, base)
+        o3 = start - (base << 5)
+        o2 = o3 + nbs
+        o1 = o2 + nb2
+
+        r_of = _extract(v, o1, nb_ofx)
+        ofv = (jnp.int32(1) << of_code) + r_of
+
+        r2 = _extract(v, o2, nb2)
+        ml = (mv & 0xFFFFFF) + ((r2 >> nb_llx) &
+                                ((jnp.int32(1) << nb_mlx) - 1))
+        ll = (lv & 0xFFFFFF) + (r2 & ((jnp.int32(1) << nb_llx) - 1))
+
+        r3 = _extract(v, o3, nbs)
         b_of = r3 & ((jnp.int32(1) << nb_of) - 1)
         b_ml = (r3 >> nb_of) & ((jnp.int32(1) << nb_ml) - 1)
         b_ll = r3 >> (nb_of + nb_ml)
         s_ll2 = (e_ll >> 16) + b_ll
         s_ml2 = (e_ml >> 16) + b_ml
         s_of2 = (e_of >> 16) + b_of
+        pos = jnp.where(active == 1, new_pos, pos)
 
         # pos is monotonic, so the final pos == 0 test subsumes per-step
         # pos >= 0 checks; garbage outputs past nseq are dropped by the
@@ -239,7 +279,7 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
                   full((512, B)), full((256, B)), full((512, B)),
                   full((1, B)), full((1, B)), full((1, B)),
-                  pl.BlockSpec((64, 4), lambda i: (0, 0),
+                  pl.BlockSpec((64, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(out_spec, out_spec, out_spec, full((1, B))),
         out_shape=(
@@ -252,8 +292,8 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
         interpret=interpret,
     )
     luts = jnp.asarray(np.concatenate(
-        [_lut_rows(a) for a in (_LL_BASE, _LL_XTRA, _ML_BASE, _ML_XTRA)],
-        axis=1))
+        [_lut_rows(_LL_BASE) | (_lut_rows(_LL_XTRA) << 24),
+         _lut_rows(_ML_BASE) | (_lut_rows(_ML_XTRA) << 24)], axis=1))
     ll_o, ml_o, of_o, okv = call(
         words_t, row(init_pos), row(nseq),
         ll_tab.astype(jnp.int32).T, of_tab.astype(jnp.int32).T,

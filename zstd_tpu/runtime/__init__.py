@@ -51,6 +51,10 @@ def get_lib():
     lib.zt_scan_frames.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_fse_sim_bits.restype = ctypes.c_int64
+    lib.zt_fse_sim_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -100,3 +104,20 @@ def scan_frames(data: bytes, max_frames: int | None = None):
     if n < 0:
         return None
     return [(int(offs[i]), int(lens[i]), int(kinds[i])) for i in range(n)]
+
+
+def fse_sim_bits(codes, delta_nb_bits, delta_find_state, next_state,
+                 init_state: int, table_log: int) -> int | None:
+    """Exact FSE bit cost of a code stream (None -> caller's Python path)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(codes, np.int32)
+    nb = np.ascontiguousarray(delta_nb_bits, np.int32)
+    fs = np.ascontiguousarray(delta_find_state, np.int32)
+    ns = np.ascontiguousarray(next_state, np.int32)
+    return int(lib.zt_fse_sim_bits(
+        c.ctypes.data, len(c), nb.ctypes.data, fs.ctypes.data,
+        ns.ctypes.data, init_state, table_log))

@@ -297,4 +297,26 @@ int64_t zt_scan_frames(const uint8_t* data, int64_t len,
     return count;
 }
 
+// Exact bit cost of one FSE code stream (the tANS state chain is serial;
+// the Python loop dominated encode planning). Mirrors
+// encoding/block_enc.py::_sim_bits: init from the LAST symbol emits
+// nothing, each earlier symbol (reverse order) emits (state + delta_nb) >>
+// 16 bits, flush emits table_log.
+int64_t zt_fse_sim_bits(const int32_t* codes, int64_t n,
+                        const int32_t* delta_nb_bits,
+                        const int32_t* delta_find_state,
+                        const int32_t* next_state,
+                        int32_t init_state, int32_t table_log) {
+    if (n <= 0) return table_log;
+    int64_t bits = 0;
+    int32_t state = init_state;
+    for (int64_t i = n - 2; i >= 0; --i) {
+        int32_t c = codes[i];
+        int32_t nb = (state + delta_nb_bits[c]) >> 16;
+        bits += nb;
+        state = next_state[(state >> nb) + delta_find_state[c]];
+    }
+    return bits + table_log;
+}
+
 }  // extern "C"

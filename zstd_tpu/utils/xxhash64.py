@@ -99,10 +99,34 @@ class Xxh64:
 
 
 def xxhash64(data) -> int:
-    """One-shot xxh64 with seed 0."""
+    """One-shot xxh64 with seed 0 (native runtime when available)."""
+    try:
+        from zstd_tpu.runtime import xxh64 as _native
+
+        r = _native(bytes(data))
+        if r is not None:
+            return r
+    except Exception:
+        pass
     h = Xxh64()
     h.update(data)
     return h.digest()
+
+
+class FastXxh64:
+    """Streaming-API hasher that defers to the native one-shot at digest
+    time (chunks are buffered; frame payloads are bounded by the window)."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts = []
+
+    def update(self, data) -> None:
+        self.parts.append(bytes(data))
+
+    def digest(self) -> int:
+        return xxhash64(b"".join(self.parts))
 
 
 def content_checksum(data) -> int:

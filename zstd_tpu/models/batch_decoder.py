@@ -262,9 +262,20 @@ class BatchDecoder:
                  max_bucket_elems: int = 1 << 27):
         self.verify_checksums = verify_checksums
         self.max_bucket_elems = max_bucket_elems
+        self.dicts = {}
+
+    def add_dict(self, raw: bytes) -> int:
+        """Register a dictionary (zstd format or raw content). Frames whose
+        header references its id decode fully on device (parity with
+        FrameDecoder::add_dict, frame_decoder.rs:221-224)."""
+        from zstd_tpu.oracle.dictionary import Dictionary
+
+        d = Dictionary.decode_dict(raw)
+        self.dicts[d.dict_id] = d
+        return d.dict_id
 
     def prepare(self, frames: list) -> DeviceBatch:
-        framer = Framer()
+        framer = Framer(dicts=self.dicts)
         for i, f in enumerate(frames):
             framer.add_frame(bytes(f), i)
         return framer.build()
@@ -285,9 +296,7 @@ class BatchDecoder:
                      "seq_trail_slot", "lit_base", "ll_base", "ml_base",
                      "of_base", "is_real"):
             dev[name] = jnp.asarray(getattr(batch, name))
-        Bf = batch.lit_base.shape[0]
-        dev["init_hist"] = jnp.asarray(
-            np.tile(np.array([1, 4, 8], np.int32), (Bf, 1)))
+        dev["init_hist"] = jnp.asarray(batch.frame_hist)
 
         pallas = use_pallas_kernels()
         lo = 128 if pallas else 4
@@ -453,11 +462,12 @@ class BatchDecoder:
         results = []
         for i, meta in enumerate(batch.metas):
             good = (meta.ok and not meta.fallback and bool(ok[i]))
-            if good and meta.out_len >= 0 and meta.out_len != int(out_len[i]):
+            if (good and meta.out_len >= 0
+                    and meta.out_len + meta.dict_skip != int(out_len[i])):
                 good = False
             data = None
             if good:
-                data = outputs[i][:int(out_len[i])].tobytes()
+                data = outputs[i][meta.dict_skip:int(out_len[i])].tobytes()
                 if self.verify_checksums and meta.checksum is not None:
                     if (_fast_xxh64(data) & 0xFFFFFFFF) != meta.checksum:
                         good = False
@@ -466,11 +476,17 @@ class BatchDecoder:
             results.append(data)
         return results
 
-    @staticmethod
-    def _host_fallback(frame_bytes: bytes):
-        from zstd_tpu.oracle import decode_frame
+    def _host_fallback(self, frame_bytes: bytes):
+        from zstd_tpu.oracle import FrameDecoder
+        import io
 
         try:
-            return decode_frame(bytes(frame_bytes))
+            dec = FrameDecoder()
+            for d in self.dicts.values():
+                dec.add_dict(d)
+            src = io.BytesIO(bytes(frame_bytes))
+            dec.init(src)
+            dec.decode_blocks(src)
+            return dec.collect()
         except ZstdError:
             return None  # malformed frame: poisoned lane, reported as None

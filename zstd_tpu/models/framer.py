@@ -43,8 +43,9 @@ class FrameMeta:
     lit_len: int
     checksum: int | None
     ok: bool                 # host-side parse success
-    fallback: bool = False   # needs oracle path (dict etc.)
+    fallback: bool = False   # needs oracle path (unregistered dict etc.)
     error: str = ""
+    dict_skip: int = 0       # leading window-prefill bytes to drop
 
 
 @dataclasses.dataclass
@@ -85,6 +86,7 @@ class DeviceBatch:
     is_real: np.ndarray        # (Bf, S) bool
     out_len: np.ndarray        # (Bf,) i32 (FCS or upper bound per frame)
     frame_nseq: np.ndarray     # (Bf,) i32 sequence slots used per frame
+    frame_hist: np.ndarray     # (Bf, 3) i32 initial repeat offsets
     metas: list  # FrameMeta per frame
     out_width: int
     max_huff_symbols: int
@@ -123,7 +125,16 @@ def _predefined_table(kind: str):
 
 
 class Framer:
-    def __init__(self):
+    def __init__(self, dicts=None):
+        """dicts: optional {dict_id: oracle.Dictionary} registry — frames
+        referencing a registered dictionary decode fully on device (entropy
+        tables pre-registered, offset history seeded, dictionary content
+        prepended as a leading literal run whose bytes are sliced off the
+        output). Unregistered dictionary ids fall back to the host oracle
+        (which raises DictNotProvided, matching frame_decoder.rs:209-216).
+        """
+        self.dicts = dicts or {}
+        self._dict_tids = {}   # dict_id -> (huff_tid, ll, of, ml tids)
         self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
         self.seq_lanes = []    # (stream_bytes, pos, n, ll/of/ml tid, frame, dst, lit_total, trail_slot)
         self.huff_tabs = _TableCache(2048)
@@ -163,16 +174,25 @@ class Framer:
 
     def _parse_frame(self, data: bytes, fr: dict, meta: FrameMeta) -> None:
         header = frame_mod.parse_frame_header(data)
+        cur_huff = None   # tid (cross-block entropy state, table ids)
+        cur_ll = cur_of = cur_ml = None
         if header.dictionary_id is not None:
-            meta.fallback = True
-            return
+            d = self.dicts.get(header.dictionary_id)
+            if d is None:
+                meta.fallback = True
+                return
+            cur_huff, cur_ll, cur_of, cur_ml = self._register_dict(d)
+            fr["hist"] = list(d.offset_hist)
+            if d.content:
+                # window prefill: emit the content as a leading literal run
+                # and slice it off the decoded output (meta.dict_skip)
+                self._add_literal_bytes(fr, d.content)
+                self._add_synthetic(fr, ll=len(d.content), ml=0, of=0)
+                fr["out_bound"] += len(d.content)
+                meta.dict_skip = len(d.content)
         fr["fcs"] = header.frame_content_size
         pos = header.header_size
         fidx = len(self.frames)
-
-        # cross-block entropy state (table ids on device)
-        cur_huff = None   # tid
-        cur_ll = cur_of = cur_ml = None
 
         while True:
             bh = blocks_mod.parse_block_header(data[pos:pos + 3])
@@ -379,14 +399,20 @@ class Framer:
         is_real = np.zeros((Bf, seq_w), bool)
         out_len = np.zeros(Bf, np.int32)
         frame_nseq = np.zeros(Bf, np.int32)
+        frame_hist = np.tile(np.array(C.INITIAL_REPEAT_OFFSETS, np.int32),
+                             (Bf, 1))
         for i, f in enumerate(self.frames):
+            if "hist" in f:
+                frame_hist[i] = f["hist"]
             for off, chunk in f["lit_parts"]:
                 lit_base[i, off:off + len(chunk)] = np.frombuffer(chunk, np.uint8)
             for slot, ll, ml, of in f["seqs"]:
                 ll_base[i, slot] = ll
                 ml_base[i, slot] = ml
                 of_base[i, slot] = of
-            out_len[i] = f["fcs"] if f["fcs"] is not None else f["out_bound"]
+            skip = self.metas[i].dict_skip
+            out_len[i] = (f["fcs"] + skip if f["fcs"] is not None
+                          else f["out_bound"])
             frame_nseq[i] = f["seq_cursor"]
 
         # huffman lanes (+1 inert row: bucket padding gathers point at it)
@@ -459,6 +485,6 @@ class Framer:
             seq_len=seq_len,
             lit_base=lit_base, ll_base=ll_base, ml_base=ml_base,
             of_base=of_base, is_real=is_real, out_len=out_len,
-            frame_nseq=frame_nseq,
+            frame_nseq=frame_nseq, frame_hist=frame_hist,
             metas=self.metas, out_width=out_w,
             max_huff_symbols=max_sym, max_seqs=max_seqs)

@@ -4,7 +4,8 @@ pipeline and compare bit-exact. Run manually / per round:
     python scripts/corpus_device.py          # CPU backend
     python scripts/corpus_device.py --tpu    # default (axon) backend
 
-Last full run: 101 files -> 101 frames, 101/101 device-ok, 0 failures.
+Last full run: 101 files -> 101 frames, 101/101 device-ok (Pallas kernels,
+no fallbacks), 0 failures; dict corpus 207/207 on-device (see test_device_dict).
 """
 
 import glob

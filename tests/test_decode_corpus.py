@@ -68,3 +68,35 @@ def test_fuzz_artifacts_never_crash():
         except ZstdError:
             pass  # typed rejection is the expected outcome
         # Anything else (untyped exception, crash, hang) fails the test.
+
+
+@requires_reference
+def test_fuzz_artifacts_through_device_pipeline():
+    """The batched device pipeline must also survive fuzzer garbage: each
+    artifact either decodes (if it is a valid frame), returns None, or is
+    rejected at framing — never an untyped exception, and one poisoned lane
+    never takes down the batch (SURVEY.md §5 failure isolation)."""
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+    from zstd_tpu.models.splitter import split_frames
+
+    artifacts = sorted(
+        p for p in glob.glob(os.path.join(FUZZ_DIR, "decode", "*"))
+        if os.path.isfile(p))
+    assert artifacts
+    frames = []
+    for art in artifacts:
+        with open(art, "rb") as f:
+            data = f.read()
+        try:
+            frames.extend(split_frames(data))
+        except ZstdError:
+            frames.append(data)  # unsplittable garbage: one lane as-is
+    # a healthy frame rides along to prove the batch survives
+    healthy = b"healthy payload " * 200
+    from zstd_tpu.encoding.frame_enc import compress_to_vec
+    from zstd_tpu.common.config import CompressionLevel
+
+    frames.append(compress_to_vec(healthy, CompressionLevel.FASTEST))
+    results = BatchDecoder().decode_frames(frames)
+    assert results[-1] == healthy
+    assert len(results) == len(frames)

@@ -122,11 +122,12 @@ SEQ_CHUNK = 4096  # records per grid step; larger SMEM blocks measurably
                   # slow the dynamic scalar reads that pace the seq loop
 
 
-def _copy_short(src_ref, out_ref, sb, db, n, src_rows: int):
+def _copy_short(src_ref, out_ref, sb, db, n, src_rows: int, consts):
     """Single-chunk copy for runs spanning <= 2 dst rows (n <= 129 worst
     case; callers bound n <= 128). Same two-source roll trick as
     _copy_chunked but without the loop — short runs dominate real data and
     the per-copy fixed cost is what paces the kernel."""
+    jj, d2, _ = consts
     delta = sb - db
     q = delta >> 7
     m = delta & 127
@@ -139,30 +140,25 @@ def _copy_short(src_ref, out_ref, sb, db, n, src_rows: int):
     blk = src_ref[0, pl.ds(jnp.clip(rs, 0, src_rows - 3), 3), :]
     blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
     rot = pltpu.roll(blk, sh, axis=1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
     val = jnp.where(jj < 128 - m, rot[0:2], rot[1:3])
-    d = 128 * rd + 128 * rr + jj
+    d = 128 * rd + d2
     mask = (d >= db) & (d < db + n)
     cur = out_ref[0, pl.ds(rd, 2), :]
     out_ref[0, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
 
 
-def _fill_periodic_short(out_ref, db, off, n):
+def _fill_periodic_short(out_ref, db, off, n, consts):
     """Periodic fill for matches spanning <= 2 dst rows: one (2,128,128)
     one-hot instead of the K-row loop's (8,128,128) per chunk."""
+    jrow, d2, p3 = consts
     pb = db - off
     rowp = jnp.maximum(pb >> 7, 0)
     mp = pb & 127
     shp = (128 - mp) & 127
     rot = pltpu.roll(out_ref[0, pl.ds(rowp, 2), :], shp, axis=1)
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    pat = jnp.where(jrow < 128 - mp, rot[0:1], rot[1:2])
+    pat = jnp.where(jrow[0:1] < 128 - mp, rot[0:1], rot[1:2])
     rd = db >> 7
-    jj = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
-    p3 = jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2)
-    d = 128 * rd + 128 * rr + jj
+    d = 128 * rd + d2
     ph = (d - db + (off << 14)) % off
     oh = p3 == ph[:, :, None]
     val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
@@ -184,6 +180,13 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
     base = c * SEQ_CHUNK
     count = jnp.clip(nseq - base, 0, SEQ_CHUNK)
 
+    # loop-invariant iotas for the short-run fast paths (the (2,128,128)
+    # one-hot iota is ~32 vregs — rebuilding it per sequence is pure waste)
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    rr2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+    consts = (jj2, 128 * rr2 + jj2,
+              jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2))
+
     def seq_body(i, carry):
         op, lp = carry
         ll = ll_ref[0, 0, i]
@@ -193,7 +196,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
         # a run spans <= 2 dst rows iff (dst&127) + n <= 256
         @pl.when((ll > 0) & ((op & 127) + ll <= 256))
         def _():
-            _copy_short(lit_ref, out_ref, lp, op, ll, lit_rows)
+            _copy_short(lit_ref, out_ref, lp, op, ll, lit_rows, consts)
 
         @pl.when((op & 127) + ll > 256)
         def _():
@@ -204,7 +207,8 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
 
         @pl.when((ml > 0) & (off >= 128) & short_m & (off >= ml))
         def _():
-            _copy_short(out_ref, out_ref, opm - off, opm, ml, out_rows)
+            _copy_short(out_ref, out_ref, opm - off, opm, ml, out_rows,
+                        consts)
 
         @pl.when((ml > 0) & (off >= 128 * _K)
                  & ~(short_m & (off >= ml)))
@@ -218,7 +222,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
 
         @pl.when((ml > 0) & (off < 128) & short_m)
         def _():
-            _fill_periodic_short(out_ref, opm, off, ml)
+            _fill_periodic_short(out_ref, opm, off, ml, consts)
 
         @pl.when((ml > 0) & (off < 128) & ~short_m)
         def _():

@@ -260,6 +260,9 @@ class BatchDecoder:
 
     def __init__(self, verify_checksums: bool = True,
                  max_bucket_elems: int = 1 << 27):
+        from zstd_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache()
         self.verify_checksums = verify_checksums
         self.max_bucket_elems = max_bucket_elems
         self.dicts = {}
@@ -408,6 +411,13 @@ class BatchDecoder:
             # otherwise exhaust HBM.
             bound_h = np.asarray(out_len)
             pl_live, xla_live = split(bound_h)
+        host_lanes = []
+        if pallas_ok and xla_live:
+            # On real TPUs the XLA pointer-doubling executor is
+            # catastrophically slow at multi-MB widths (~45x the host
+            # oracle's native executor) — hand Pallas-ineligible frames to
+            # the host fallback instead. The CPU backend keeps the XLA path.
+            host_lanes, xla_live = xla_live, []
         plans = []
         if pl_live:
             for (w, _), rows in _buckets(
@@ -442,6 +452,8 @@ class BatchDecoder:
         lens_ok_h = np.asarray(lens_ok)
         out_len_h = lens_ok_h[:Bf]
         ok_h = lens_ok_h[Bf:].astype(bool)
+        for lane in host_lanes:
+            ok_h[lane] = False  # routed to the host-oracle fallback
         for rows, out_b in pending:
             if pull_outputs:
                 out_b = np.asarray(out_b)

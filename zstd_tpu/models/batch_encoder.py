@@ -58,6 +58,9 @@ class BatchEncoder:
     """
 
     def __init__(self, config: CodecConfig | None = None, matcher=None):
+        from zstd_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config or CodecConfig()
         self.matcher = matcher
 

@@ -36,6 +36,16 @@ def _round_pow2(n: int, lo: int = 16) -> int:
     return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
 
+# Frames whose decoded size (or literal volume) exceeds this take the host
+# oracle (with the native C++ executor) instead of the batch pipeline: a
+# single huge frame would otherwise inflate every frame-indexed array and
+# the offset-resolution scan length for the whole batch, and the LZ77
+# executors degrade far past the Pallas kernel's VMEM-bounded window.
+# Streaming window execution for big frames is the round-2 design
+# (SURVEY.md §5 long-context analog).
+DEVICE_FRAME_CAP = 1 << 20
+
+
 @dataclasses.dataclass
 class FrameMeta:
     index: int
@@ -150,6 +160,11 @@ class Framer:
 
     def add_frame(self, data: bytes, index: int) -> None:
         """Parse one frame's structure; raises nothing — failures flag the lane."""
+        marks = (len(self.huff_lanes), len(self.seq_lanes),
+                 len(self.huff_tabs.rows), len(self.huff_maxbits),
+                 len(self.ll_tabs.rows), len(self.of_tabs.rows),
+                 len(self.ml_tabs.rows), len(self.ll_logs),
+                 len(self.of_logs), len(self.ml_logs))
         fr = {
             "lit_parts": [],   # (offset, bytes) host-known literal content
             "lit_cursor": 0,
@@ -167,6 +182,19 @@ class Framer:
         except Exception as e:  # framer must never crash the batch
             meta.ok = False
             meta.error = f"internal {type(e).__name__}: {e}"
+        if (fr["out_bound"] > DEVICE_FRAME_CAP
+                or fr["lit_cursor"] > DEVICE_FRAME_CAP):
+            meta.fallback = True
+            # strip this frame's lanes/tables so one big frame does not
+            # inflate the whole batch's widths
+            (self.huff_lanes[marks[0]:], self.seq_lanes[marks[1]:],
+             self.huff_tabs.rows[marks[2]:], self.huff_maxbits[marks[3]:],
+             self.ll_tabs.rows[marks[4]:], self.of_tabs.rows[marks[5]:],
+             self.ml_tabs.rows[marks[6]:], self.ll_logs[marks[7]:],
+             self.of_logs[marks[8]:], self.ml_logs[marks[9]:]) = (
+                [], [], [], [], [], [], [], [], [], [])
+            fr = {"lit_parts": [], "lit_cursor": 0, "seqs": [],
+                  "seq_cursor": 0, "out_bound": 0, "fcs": None}
         meta.lit_len = fr["lit_cursor"]
         meta.out_len = fr["fcs"] if fr["fcs"] is not None else -1
         self.frames.append(fr)

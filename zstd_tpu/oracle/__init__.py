@@ -5,11 +5,14 @@ This layer is the bit-exact ground truth every TPU kernel diffs against
 strict; throughput comes from the device pipelines in zstd_tpu/models.
 """
 
+from zstd_tpu.common.constants import DEFAULT_MAX_WINDOW_SIZE
 from zstd_tpu.oracle.decoder import (
     FrameDecoder,
     StreamingDecoder,
     BlockDecodingStrategy,
     decode_all,
+    decode_all_to_vec,
+    decode_from_to,
     decode_frame,
 )
 from zstd_tpu.oracle.dictionary import Dictionary
@@ -19,6 +22,9 @@ __all__ = [
     "StreamingDecoder",
     "BlockDecodingStrategy",
     "decode_all",
+    "decode_all_to_vec",
+    "decode_from_to",
     "decode_frame",
     "Dictionary",
+    "DEFAULT_MAX_WINDOW_SIZE",
 ]

@@ -109,6 +109,8 @@ def decode_block_content(header, source, scratch, block_size_cap: int) -> None:
     if seq_header.num_sequences == 0:
         scratch.buffer.push(lits)
         return
+    if sequences_mod.decode_and_execute(seq_header, content[pos:], scratch, lits):
+        return
     seqs = sequences_mod.decode_sequences(seq_header, content[pos:], scratch)
     sequences_mod.execute_sequences(seqs, lits, scratch.buffer, scratch.offset_hist)
 

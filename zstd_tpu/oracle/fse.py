@@ -78,6 +78,20 @@ def read_probabilities(reader: BitReader, max_log: int):
 
 def build_table_from_probabilities(probs, acc_log: int) -> FSETable:
     """Spread symbols over the table and derive per-state baseline/num_bits."""
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if rt is not None:
+        res = rt.fse_build_table(probs, acc_log)
+        if res is not None:
+            if isinstance(res, int):
+                if res == -1:
+                    raise FSETableError("too many less-than-one probabilities")
+                raise FSETableError("table spread did not return to position 0")
+            sym, base, nb = res
+            return FSETable(acc_log=acc_log, symbol=sym, base_line=base,
+                            num_bits=nb)
+
     size = 1 << acc_log
     symbols = np.zeros(size, dtype=np.uint8)
     base_line = np.zeros(size, dtype=np.uint16)

@@ -169,7 +169,25 @@ class HuffmanDecoder:
 
 def decode_stream(table: HuffmanTable, data, expected: int) -> bytes:
     """Decode one reversed Huffman bitstream to exactly `expected` symbols."""
-    from zstd_tpu.common.errors import HuffmanDecodeError
+    from zstd_tpu.common.errors import BitstreamError, HuffmanDecodeError
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if rt is not None:
+        res = rt.huff_decode(bytes(data), table, expected)
+        if res is not None:
+            if isinstance(res, int):
+                if res == -1:
+                    raise BitstreamError(
+                        "empty or zero-padded reverse bitstream")
+                if res == -2:
+                    raise HuffmanDecodeError(
+                        f"stream produced more than the expected "
+                        f"{expected} literals")
+                raise HuffmanDecodeError(
+                    f"stream produced a wrong literal count, expected "
+                    f"{expected}")
+            return res
 
     rev = ReverseBitReader(data)
     dec = HuffmanDecoder(table)

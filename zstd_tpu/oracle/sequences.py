@@ -53,12 +53,8 @@ def update_fse_table(mode: int, data, prev: "fse.FSETable | None",
     return prev, 0
 
 
-def decode_sequences(header, data, scratch) -> list[Sequence]:
-    """Decode `header.num_sequences` from the sequences-section payload.
-
-    `scratch` carries the cross-block entropy state (DecoderScratch); its
-    ll/of/ml tables are updated in place per the mode byte.
-    """
+def _setup_tables(header, data, scratch) -> int:
+    """Per-mode LL/OF/ML table updates on `scratch`; returns bytes consumed."""
     pos = 0
     scratch.ll_table, used = update_fse_table(
         header.ll_mode, data[pos:], scratch.ll_table,
@@ -74,7 +70,16 @@ def decode_sequences(header, data, scratch) -> list[Sequence]:
         header.ml_mode, data[pos:], scratch.ml_table,
         constants.ML_DEFAULT_DIST, constants.ML_DEFAULT_ACC_LOG,
         constants.ML_MAX_LOG, "match-length")
-    pos += used
+    return pos + used
+
+
+def decode_sequences(header, data, scratch) -> list[Sequence]:
+    """Decode `header.num_sequences` from the sequences-section payload.
+
+    `scratch` carries the cross-block entropy state (DecoderScratch); its
+    ll/of/ml tables are updated in place per the mode byte.
+    """
+    pos = _setup_tables(header, data, scratch)
 
     bitstream = data[pos:]
     if len(bitstream) == 0:
@@ -126,6 +131,73 @@ def decode_sequences(header, data, scratch) -> list[Sequence]:
                 f"{rev.bits_remaining()} extra bits left after the final sequence")
         raise SequenceDecodeError("sequences bitstream exhausted early")
     return seqs
+
+
+def _native_runtime():
+    """The native host runtime, or None (ZT_NO_NATIVE=1 forces Python)."""
+    import os
+
+    if os.environ.get("ZT_NO_NATIVE"):
+        return None
+    try:
+        from zstd_tpu import runtime
+
+        if runtime.get_lib() is None:
+            return None
+        return runtime
+    except Exception:
+        return None
+
+
+def decode_and_execute(header, data, scratch, literals) -> bool:
+    """Native fast path: tANS decode + repcode resolution + LZ77 execution
+    straight into the scratch buffer (the reference's three hot loops in one
+    C pass). Returns False when the native runtime is unavailable — callers
+    then run decode_sequences + execute_sequences in Python. Raises the same
+    typed errors as the Python path on malformed input."""
+    rt = _native_runtime()
+    if rt is None:
+        return False
+
+    pos = _setup_tables(header, data, scratch)
+    bitstream = data[pos:]
+    if len(bitstream) == 0:
+        raise NotEnoughBytes(1, 0, "sequences bitstream")
+    res = rt.decode_sequences(bitstream, header.num_sequences,
+                              scratch.ll_table, scratch.of_table,
+                              scratch.ml_table, scratch.offset_hist)
+    if res is None:
+        return False
+    if isinstance(res, int):
+        if res == -2:
+            raise SequenceDecodeError("extra bits left after the final sequence")
+        if res == -3:
+            raise SequenceDecodeError("offset code out of range")
+        if res == -4:
+            raise SequenceDecodeError("match-length code out of range")
+        if res == -5:
+            raise SequenceDecodeError("literals-length code out of range")
+        if res == -6:
+            raise SequenceExecutionError("repeat offset decremented to zero")
+        if res == -7:
+            from zstd_tpu.common.errors import BitstreamError
+
+            raise BitstreamError("reverse bitstream padding byte is zero")
+        raise SequenceDecodeError("sequences bitstream exhausted early")
+    ll, ml, off = res
+
+    buffer = scratch.buffer
+    base = len(buffer.buffer)
+    total_add = len(literals) + int(ml.sum())
+    buffer.buffer.extend(bytes(total_add))
+    n = rt.execute_append(buffer.buffer, base, ll, ml, off, literals,
+                          buffer.dict_content)
+    if n is None or n != base + total_add:
+        del buffer.buffer[base:]
+        raise SequenceExecutionError(
+            "sequence execution out of bounds (literals or match offset)")
+    buffer.total_output += total_add
+    return True
 
 
 def resolve_offset(of_value: int, ll: int, hist: list[int]) -> int:

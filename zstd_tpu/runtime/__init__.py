@@ -55,8 +55,58 @@ def get_lib():
     lib.zt_fse_sim_bits.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.zt_xxh64_init.restype = None
+    lib.zt_xxh64_init.argtypes = [ctypes.c_void_p]
+    lib.zt_xxh64_update.restype = None
+    lib.zt_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_uint64]
+    lib.zt_xxh64_digest.restype = ctypes.c_uint64
+    lib.zt_xxh64_digest.argtypes = [ctypes.c_void_p]
+    lib.zt_decode_sequences.restype = ctypes.c_int64
+    lib.zt_decode_sequences.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_fse_build_table.restype = ctypes.c_int64
+    lib.zt_fse_build_table.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_huff_decode.restype = ctypes.c_int64
+    lib.zt_huff_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_execute_append.restype = ctypes.c_int64
+    lib.zt_execute_append.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     _lib = lib
     return _lib
+
+
+class Xxh64Native:
+    """Streaming xxHash64 over the native state (seed 0).
+
+    Interface-compatible with utils.xxhash64.Xxh64; only instantiate when
+    get_lib() is non-None."""
+
+    __slots__ = ("_lib", "_state")
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._state = ctypes.create_string_buffer(128)  # >= sizeof state
+        self._lib.zt_xxh64_init(self._state)
+
+    def update(self, data) -> None:
+        data = bytes(data)
+        self._lib.zt_xxh64_update(self._state, data, len(data))
+
+    def digest(self) -> int:
+        return int(self._lib.zt_xxh64_digest(self._state))
 
 
 def xxh64(data: bytes) -> int | None:
@@ -104,6 +154,128 @@ def scan_frames(data: bytes, max_frames: int | None = None):
     if n < 0:
         return None
     return [(int(offs[i]), int(lens[i]), int(kinds[i])) for i in range(n)]
+
+
+_SEQ_CODE_TABLES = None
+
+
+def _seq_code_tables():
+    """The spec LL/ML code->(baseline, extra bits) tables as i32 arrays."""
+    global _SEQ_CODE_TABLES
+    if _SEQ_CODE_TABLES is None:
+        import numpy as np
+
+        from zstd_tpu.common import constants as C
+
+        _SEQ_CODE_TABLES = (
+            np.asarray(C.LL_CODE_BASELINE, np.int32),
+            np.asarray(C.LL_CODE_EXTRA_BITS, np.int32),
+            np.asarray(C.ML_CODE_BASELINE, np.int32),
+            np.asarray(C.ML_CODE_EXTRA_BITS, np.int32),
+        )
+    return _SEQ_CODE_TABLES
+
+
+def decode_sequences(stream: bytes, nseq: int, ll_table, of_table, ml_table,
+                     hist: list):
+    """Native interleaved tANS sequence decode with repcode resolution.
+
+    Tables are oracle FSETable instances. Returns (ll, ml, offset) int32
+    arrays (offsets fully resolved, `hist` updated in place), an int error
+    code on malformed input, or None when the library is unavailable."""
+    import numpy as np
+
+    from zstd_tpu.common import constants as C
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ll_cb, ll_eb, ml_cb, ml_eb = _seq_code_tables()
+    out_ll = np.empty(nseq, np.int32)
+    out_ml = np.empty(nseq, np.int32)
+    out_of = np.empty(nseq, np.int32)
+    h = np.asarray(hist, np.int64)
+    n = lib.zt_decode_sequences(
+        bytes(stream), len(stream), nseq,
+        ll_table.symbol.ctypes.data, ll_table.base_line.ctypes.data,
+        ll_table.num_bits.ctypes.data, ll_table.acc_log,
+        of_table.symbol.ctypes.data, of_table.base_line.ctypes.data,
+        of_table.num_bits.ctypes.data, of_table.acc_log,
+        ml_table.symbol.ctypes.data, ml_table.base_line.ctypes.data,
+        ml_table.num_bits.ctypes.data, ml_table.acc_log,
+        ll_cb.ctypes.data, ll_eb.ctypes.data, C.LL_MAX_CODE,
+        ml_cb.ctypes.data, ml_eb.ctypes.data, C.ML_MAX_CODE,
+        out_ll.ctypes.data, out_ml.ctypes.data, out_of.ctypes.data,
+        h.ctypes.data)
+    if n < 0:
+        return int(n)
+    hist[:] = [int(h[0]), int(h[1]), int(h[2])]
+    return out_ll, out_ml, out_of
+
+
+def fse_build_table(probs, acc_log: int):
+    """Native FSE decode-table build. Returns (symbol, base_line, num_bits)
+    arrays, an int error code, or None when the library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(probs, np.int32)
+    size = 1 << acc_log
+    sym = np.zeros(size, np.uint8)
+    base = np.zeros(size, np.uint16)
+    nb = np.zeros(size, np.uint8)
+    r = lib.zt_fse_build_table(p.ctypes.data, len(p), acc_log,
+                               sym.ctypes.data, base.ctypes.data,
+                               nb.ctypes.data)
+    if r < 0:
+        return int(r)
+    return sym, base, nb
+
+
+def huff_decode(stream: bytes, table, expected: int):
+    """Native Huffman stream decode. Returns bytes, an int error code on
+    malformed input, or None when the library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(max(expected, 1), np.uint8)
+    n = lib.zt_huff_decode(
+        bytes(stream), len(stream), table.symbol.ctypes.data,
+        table.num_bits.ctypes.data, table.max_bits, out.ctypes.data, expected)
+    if n < 0:
+        return int(n)
+    return out[:expected].tobytes()
+
+
+def execute_append(buf: bytearray, base: int, ll, ml, offset,
+                   literals: bytes, dict_content: bytes):
+    """Native LZ77 execution appending into `buf` (which already holds
+    `base` bytes of window history; caller pre-extends to capacity).
+    Returns the new total length, -1 on bounds violation, or None when the
+    library is unavailable."""
+    import ctypes as _ct
+
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ll = np.ascontiguousarray(ll, np.int32)
+    ml = np.ascontiguousarray(ml, np.int32)
+    offset = np.ascontiguousarray(offset, np.int32)
+    view = (_ct.c_ubyte * len(buf)).from_buffer(buf)
+    try:
+        n = lib.zt_execute_append(
+            ll.ctypes.data, ml.ctypes.data, offset.ctypes.data, len(ll),
+            bytes(literals), len(literals), bytes(dict_content),
+            len(dict_content), _ct.addressof(view), base, len(buf))
+    finally:
+        del view  # release the buffer export so the bytearray can resize
+    return int(n)
 
 
 def fse_sim_bits(codes, delta_nb_bits, delta_find_state, next_state,

@@ -319,4 +319,254 @@ int64_t zt_fse_sim_bits(const int32_t* codes, int64_t n,
     return bits + table_log;
 }
 
+// ---------------------------------------------------------------------------
+// Reverse bit reader (host decode hot loops)
+// ---------------------------------------------------------------------------
+// Mirrors utils/bitio.py ReverseBitReader: bit i of the stream is
+// (data[i/8] >> (i%8)) & 1; reads consume the highest unread bits; reads
+// past the start return phantom zero bits and drive `pos` negative (the
+// format's loop-termination idiom, bit_reader_reverse.rs:6-163).
+
+struct RevBits {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;  // bits remaining
+};
+
+static inline int rev_init(RevBits* r, const uint8_t* data, int64_t len) {
+    if (len <= 0) return -1;
+    uint8_t last = data[len - 1];
+    if (last == 0) return -1;  // padding byte must carry the sentinel 1 bit
+    int hb = 31 - __builtin_clz((uint32_t)last);
+    r->data = data;
+    r->len = len;
+    r->pos = (len - 1) * 8 + hb;
+    return 0;
+}
+
+static inline uint64_t rev_get(RevBits* r, int n) {
+    if (n == 0) return 0;
+    r->pos -= n;
+    int64_t start = r->pos;
+    uint64_t mask = (n >= 64) ? ~0ULL : ((1ULL << n) - 1);
+    if (start >= 0) {
+        int64_t lo = start >> 3;
+        uint64_t window = 0;
+        int64_t avail = r->len - lo;
+        memcpy(&window, r->data + lo, avail > 8 ? 8 : (size_t)avail);
+        return (window >> (start & 7)) & mask;
+    }
+    int64_t avail_bits = start + n;  // real bits available (may be <= 0)
+    if (avail_bits <= 0) return 0;
+    uint64_t window = 0;
+    int64_t nb = (avail_bits + 7) >> 3;
+    memcpy(&window, r->data, nb > 8 ? 8 : (size_t)nb);
+    uint64_t real = window & ((1ULL << avail_bits) - 1);
+    return real << (-start);
+}
+
+// ---------------------------------------------------------------------------
+// Interleaved 3-state tANS sequence decode + repcode resolution
+// ---------------------------------------------------------------------------
+// The host-path mirror of oracle/sequences.py::decode_sequences +
+// resolve_offset (reference hot loop 2, sequence_section_decoder.rs:154-221
+// and sequence_execution.rs:59-115). Tables are the oracle's FSETable
+// arrays; (ll|ml)_cb_base/bits are the spec code->value tables passed from
+// constants.py. hist[3] is the repeat-offset history, updated in place.
+// Writes n resolved (ll, ml, offset) triples. Returns n, or:
+//   -1 exhausted early   -2 extra bits left at end
+//   -3 of code > 31   -4 ml code out of range    -5 ll code out of range
+//   -6 repeat offset decremented to zero   -7 bitstream init failed
+
+int64_t zt_decode_sequences(
+    const uint8_t* stream, int64_t len, int64_t nseq,
+    const uint8_t* ll_sym, const uint16_t* ll_base, const uint8_t* ll_nb,
+    int32_t ll_log,
+    const uint8_t* of_sym, const uint16_t* of_base, const uint8_t* of_nb,
+    int32_t of_log,
+    const uint8_t* ml_sym, const uint16_t* ml_base, const uint8_t* ml_nb,
+    int32_t ml_log,
+    const int32_t* ll_cb_base, const int32_t* ll_cb_bits, int32_t ll_max_code,
+    const int32_t* ml_cb_base, const int32_t* ml_cb_bits, int32_t ml_max_code,
+    int32_t* out_ll, int32_t* out_ml, int32_t* out_of, int64_t* hist) {
+    RevBits r;
+    if (rev_init(&r, stream, len) != 0) return -7;
+    uint32_t ll_state = (uint32_t)rev_get(&r, ll_log);
+    uint32_t of_state = (uint32_t)rev_get(&r, of_log);
+    uint32_t ml_state = (uint32_t)rev_get(&r, ml_log);
+    int64_t h0 = hist[0], h1 = hist[1], h2 = hist[2];
+    for (int64_t i = 0; i < nseq; i++) {
+        uint32_t of_code = of_sym[of_state];
+        uint32_t ml_code = ml_sym[ml_state];
+        uint32_t ll_code = ll_sym[ll_state];
+        if (of_code > 31) return -3;
+        if ((int32_t)ml_code > ml_max_code) return -4;
+        if ((int32_t)ll_code > ll_max_code) return -5;
+        // extra bits OF -> ML -> LL (highest bits to OF)
+        int64_t of_value = ((int64_t)1 << of_code) + (int64_t)rev_get(&r, of_code);
+        int64_t ml = ml_cb_base[ml_code] + (int64_t)rev_get(&r, ml_cb_bits[ml_code]);
+        int64_t ll = ll_cb_base[ll_code] + (int64_t)rev_get(&r, ll_cb_bits[ll_code]);
+        // repeat-offset resolution (mutating history)
+        int64_t offset;
+        if (of_value > 3) {
+            offset = of_value - 3;
+            h2 = h1; h1 = h0; h0 = offset;
+        } else {
+            int64_t idx = (ll == 0) ? of_value + 1 : of_value;
+            if (idx == 1) {
+                offset = h0;
+            } else if (idx == 2) {
+                offset = h1; h1 = h0; h0 = offset;
+            } else if (idx == 3) {
+                offset = h2; h2 = h1; h1 = h0; h0 = offset;
+            } else {  // idx == 4: repcode1 - 1
+                offset = h0 - 1;
+                if (offset == 0) return -6;
+                h2 = h1; h1 = h0; h0 = offset;
+            }
+        }
+        out_ll[i] = (int32_t)ll;
+        out_ml[i] = (int32_t)ml;
+        out_of[i] = (int32_t)offset;
+        if (i != nseq - 1) {
+            // state updates LL -> ML -> OF
+            int nb = ll_nb[ll_state];
+            ll_state = ll_base[ll_state] + (uint32_t)rev_get(&r, nb);
+            nb = ml_nb[ml_state];
+            ml_state = ml_base[ml_state] + (uint32_t)rev_get(&r, nb);
+            nb = of_nb[of_state];
+            of_state = of_base[of_state] + (uint32_t)rev_get(&r, nb);
+        }
+        if (r.pos < 0) return -1;
+    }
+    if (r.pos != 0) return r.pos > 0 ? -2 : -1;
+    hist[0] = h0; hist[1] = h1; hist[2] = h2;
+    return nseq;
+}
+
+// ---------------------------------------------------------------------------
+// FSE decode-table build (table spread + per-state baseline/num_bits)
+// ---------------------------------------------------------------------------
+// oracle/fse.py::build_table_from_probabilities mirror
+// (fse_decoder.rs:141-219, 340-366). probs are -1..=prob values; acc_log
+// <= 9 so the table is <= 512 entries. Returns 0, or:
+//   -1 too many -1 probabilities   -2 spread did not return to position 0
+
+int64_t zt_fse_build_table(const int32_t* probs, int64_t nprobs,
+                           int32_t acc_log, uint8_t* symbols,
+                           uint16_t* base_line, uint8_t* num_bits) {
+    int64_t size = (int64_t)1 << acc_log;
+    int64_t state_desc[256] = {0};
+    int64_t high_threshold = size;
+    for (int64_t s = 0; s < nprobs; s++) {
+        if (probs[s] == -1) {
+            high_threshold--;
+            if (high_threshold < 0) return -1;
+            symbols[high_threshold] = (uint8_t)s;
+            state_desc[s] = 1;
+        }
+    }
+    int64_t step = (size >> 1) + (size >> 3) + 3;
+    int64_t mask = size - 1;
+    int64_t pos = 0;
+    for (int64_t s = 0; s < nprobs; s++) {
+        int32_t p = probs[s];
+        if (p <= 0) continue;
+        state_desc[s] = p;
+        for (int32_t k = 0; k < p; k++) {
+            symbols[pos] = (uint8_t)s;
+            pos = (pos + step) & mask;
+            while (pos >= high_threshold) pos = (pos + step) & mask;
+        }
+    }
+    if (pos != 0) return -2;
+    for (int64_t i = 0; i < size; i++) {
+        uint8_t s = symbols[i];
+        int64_t cnt = state_desc[s];
+        state_desc[s] = cnt + 1;
+        int hb = 63 - __builtin_clzll((uint64_t)cnt);  // bit_length - 1
+        int nb = acc_log - hb;
+        num_bits[i] = (uint8_t)nb;
+        base_line[i] = (uint16_t)((cnt << nb) - size);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman stream decode (host path)
+// ---------------------------------------------------------------------------
+// oracle/huff0.py::decode_stream mirror (reference hot loop 1,
+// literals_section_decoder.rs:88-147): canonical LUT decode until exactly
+// -max_bits bits remain. Returns symbols written, or:
+//   -1 bitstream init failed   -2 produced more than `expected`
+//   -3 produced a different count than `expected`
+
+int64_t zt_huff_decode(const uint8_t* stream, int64_t len,
+                       const uint8_t* sym, const uint8_t* nb,
+                       int32_t max_bits, uint8_t* out, int64_t expected) {
+    RevBits r;
+    if (rev_init(&r, stream, len) != 0) return -1;
+    uint32_t state = (uint32_t)rev_get(&r, max_bits);
+    uint32_t mask = (1u << max_bits) - 1;
+    int64_t count = 0;
+    int64_t limit = -(int64_t)max_bits;
+    while (r.pos > limit) {
+        if (count >= expected) return -2;
+        out[count++] = sym[state];
+        int n = nb[state];
+        state = ((state << n) & mask) | (uint32_t)rev_get(&r, n);
+    }
+    if (count != expected) return -3;
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// LZ77 execution appending into an existing buffer
+// ---------------------------------------------------------------------------
+// Like zt_execute_sequences but `buf` already holds `base` bytes of decode
+// history (the window) — matches read straight from it, so streaming block
+// decode pays no window copy. Returns the new total length, or -1 on any
+// bounds violation (buffer is then in an undefined state; caller rolls back).
+
+int64_t zt_execute_append(const int32_t* ll, const int32_t* ml,
+                          const int32_t* offset, int64_t n,
+                          const uint8_t* literals, int64_t lit_len,
+                          const uint8_t* dict, int64_t dict_len,
+                          uint8_t* buf, int64_t base, int64_t cap) {
+    int64_t op = base;
+    int64_t lp = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = ll[i], m = ml[i];
+        int64_t off = offset[i];
+        if (l < 0 || m < 0 || lp + l > lit_len || op + l + m > cap)
+            return -1;
+        memcpy(buf + op, literals + lp, (size_t)l);
+        op += l;
+        lp += l;
+        if (m == 0) continue;
+        if (off <= 0) return -1;
+        int64_t src = op - off;
+        if (src < 0) {
+            int64_t gap = -src;
+            if (gap > dict_len) return -1;
+            int64_t take = gap < m ? gap : m;
+            memcpy(buf + op, dict + dict_len - gap, (size_t)take);
+            op += take;
+            m -= take;
+        }
+        while (m > 0) {
+            int64_t chunk = off < m ? off : m;
+            memcpy(buf + op, buf + op - off, (size_t)chunk);
+            op += chunk;
+            m -= chunk;
+        }
+    }
+    if (lp < lit_len) {
+        if (op + (lit_len - lp) > cap) return -1;
+        memcpy(buf + op, literals + lp, (size_t)(lit_len - lp));
+        op += lit_len - lp;
+    }
+    return op;
+}
+
 }  // extern "C"

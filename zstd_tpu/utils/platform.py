@@ -9,16 +9,28 @@ which still works post-import as long as no backend has been used yet.
 import os
 
 
+_cache_enabled = False
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache — the tunnel's remote compiles cost
-    ~a minute per shape, so caching across processes matters."""
+    ~a minute per shape, so caching across processes matters. Called by
+    every device-pipeline entry point (idempotent); ZSTD_TPU_NO_CACHE=1
+    disables it."""
+    global _cache_enabled
+    if _cache_enabled or os.environ.get("ZSTD_TPU_NO_CACHE"):
+        return
     import jax
 
     cache = path or os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        return  # read-only install dir etc. — caching is best-effort
+    _cache_enabled = True
 
 
 def force_cpu(n_virtual_devices: int = 8) -> None:

@@ -98,6 +98,26 @@ class Xxh64:
         return h
 
 
+def _select_xxh64():
+    """Prefer the native streaming hasher (ZT_NO_NATIVE=1 forces Python)."""
+    import os
+
+    if os.environ.get("ZT_NO_NATIVE"):
+        return Xxh64
+    try:
+        from zstd_tpu import runtime
+
+        if runtime.get_lib() is not None:
+            return runtime.Xxh64Native
+    except Exception:
+        pass
+    return Xxh64
+
+
+PyXxh64 = Xxh64
+Xxh64 = _select_xxh64()
+
+
 def xxhash64(data) -> int:
     """One-shot xxh64 with seed 0 (native runtime when available)."""
     try:

@@ -157,3 +157,62 @@ def test_pallas_huffman_matches_xla():
     act = np.arange(max_symbols)[None, :] < np.asarray(nsym)[:, None]
     assert (np.asarray(lits_x) == np.asarray(lits_p))[act].all()
     assert np.array_equal(np.asarray(ok_x), np.asarray(ok_p))
+
+
+def test_pallas_execute_fused_boundaries():
+    """Randomized differential test aimed at the v2 fused-path boundaries:
+    off == ll + ml exactly (source touching this sequence's own writes),
+    spans at the 3-row store-window edge, off == opm with multi-row literal
+    runs (match window below row 0), and off < ll + ml (slow path)."""
+    from zstd_tpu.ops.pallas_execute import execute_sequences_pallas
+
+    rng = np.random.default_rng(11)
+    B, S, out_w, lit_w = 8, 24, 4096, 2048
+    LL = np.zeros((B, S), np.int32)
+    ML = np.zeros((B, S), np.int32)
+    OF = np.zeros((B, S), np.int32)
+    LIT = rng.integers(0, 256, (B, lit_w)).astype(np.uint8)
+    out_len = np.zeros(B, np.int32)
+    expect = []
+    for b in range(B):
+        out = bytearray()
+        lp = 0
+        for i in range(S):
+            if rng.random() < 0.2 and lp < lit_w - 300:
+                l = int(rng.integers(120, 300))  # multi-row literal run
+            else:
+                l = int(rng.integers(0, 40))
+            l = min(l, lit_w - lp)
+            m = int(rng.integers(0, 48)) if (len(out) + l) else 0
+            if m:
+                hi = len(out) + l
+                choice = rng.random()
+                if choice < 0.25:
+                    o = l + m          # exact fused/slow boundary
+                elif choice < 0.45:
+                    o = hi             # off == opm (window below row 0)
+                elif choice < 0.65:
+                    o = int(rng.integers(1, max(2, min(l + m, hi))))  # slow
+                else:
+                    o = int(rng.integers(1, hi + 1))
+                o = min(o, hi)
+                if o == 0:
+                    m = 0
+                    o = 0
+            else:
+                o = 0
+            LL[b, i], ML[b, i], OF[b, i] = l, m, o
+            out += LIT[b].tobytes()[lp:lp + l]
+            lp += l
+            for _ in range(m):
+                out.append(out[len(out) - o])
+        expect.append(bytes(out))
+        out_len[b] = len(out)
+
+    out, ok = execute_sequences_pallas(
+        jnp.asarray(LL), jnp.asarray(ML), jnp.asarray(OF), jnp.asarray(LIT),
+        jnp.asarray(out_len), out_width=out_w, interpret=True)
+    out = np.asarray(out)
+    assert np.asarray(ok).all()
+    for b in range(B):
+        assert out[b, :out_len[b]].tobytes() == expect[b], f"lane {b}"

@@ -112,11 +112,12 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 2048):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "max_symbols", "use_pallas"))
+                   static_argnames=("width", "max_symbols", "table_width",
+                                    "use_pallas"))
 def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
                  nsym_full, dst_frame_full, dst_off_full, idx, lit_full,
                  frame_ok, width: int, max_symbols: int,
-                 use_pallas: bool = False):
+                 table_width: int = 2048, use_pallas: bool = False):
     # gather this bucket's lanes on device (idx rows, first `width` cols)
     cols = jnp.arange(width, dtype=jnp.int32)
     streams = streams_full[idx[:, None], cols[None, :]]
@@ -125,6 +126,9 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
     nsym = nsym_full[idx]
     dst_frame = dst_frame_full[idx]
     dst_off = dst_off_full[idx]
+    # the kernel's table-lookup scan costs ~width-of-table per symbol:
+    # slice to the bucket's true max table size (1 << max max_bits)
+    tables = tables[:, :table_width]
 
     if use_pallas:
         lits, ok = decode_huffman_lanes_pallas(
@@ -142,13 +146,21 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "max_seqs", "use_pallas"))
+                   static_argnames=("width", "max_seqs", "table_widths",
+                                    "use_pallas"))
 def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
                 ml_tid_full, ll_tables, of_tables, ml_tables, ll_logs,
                 of_logs, ml_logs, dst_frame_full, dst_off_full,
                 lit_total_full, trail_slot_full, idx,
                 ll_full, ml_full, of_full, frame_ok,
-                width: int, max_seqs: int, use_pallas: bool = False):
+                width: int, max_seqs: int,
+                table_widths: tuple = (512, 256, 512),
+                use_pallas: bool = False):
+    # slice tables to the bucket's true max sizes (1 << max acc_log): the
+    # kernel's per-step lookup scans cost ~table-width each
+    ll_tables = ll_tables[:, :table_widths[0]]
+    of_tables = of_tables[:, :table_widths[1]]
+    ml_tables = ml_tables[:, :table_widths[2]]
     cols = jnp.arange(width, dtype=jnp.int32)
     streams = streams_full[idx[:, None], cols[None, :]]
     pos = pos_full[idx]
@@ -312,19 +324,28 @@ class BatchDecoder:
             return _buckets(widths, counts, self.max_bucket_elems)
 
         live = [i for i in range(huff_inert) if batch.huff_nsym[i] > 0]
-        dev["huff_plan"] = [
-            ((w, c), _pad_idx([live[r] for r in rows], huff_inert, lo))
-            for (w, c), rows in plan(
-                [int(batch.huff_len[i]) for i in live],
-                [int(batch.huff_nsym[i]) for i in live],
-                HUFF_LANE_OVERHEAD)]
+        dev["huff_plan"] = []
+        for (w, c), rows in plan([int(batch.huff_len[i]) for i in live],
+                                 [int(batch.huff_nsym[i]) for i in live],
+                                 HUFF_LANE_OVERHEAD):
+            lanes = [live[r] for r in rows]
+            tw = _pow2(max(1 << int(batch.huff_maxbits[batch.huff_tid[i]])
+                           for i in lanes), lo=32)
+            dev["huff_plan"].append(
+                ((w, c, tw), _pad_idx(lanes, huff_inert, lo)))
         live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
-        dev["seq_plan"] = [
-            ((w, c), _pad_idx([live[r] for r in rows], seq_inert, lo))
-            for (w, c), rows in plan(
-                [int(batch.seq_len[i]) for i in live],
-                [int(batch.seq_n[i]) for i in live],
-                SEQ_LANE_OVERHEAD)]
+        dev["seq_plan"] = []
+        for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
+                                 [int(batch.seq_n[i]) for i in live],
+                                 SEQ_LANE_OVERHEAD):
+            lanes = [live[r] for r in rows]
+            tws = tuple(
+                _pow2(max(1 << int(logs[tid[i]]) for i in lanes), lo=32)
+                for logs, tid in ((batch.ll_logs, batch.ll_tid),
+                                  (batch.of_logs, batch.of_tid),
+                                  (batch.ml_logs, batch.ml_tid)))
+            dev["seq_plan"].append(
+                ((w, c, tws), _pad_idx(lanes, seq_inert, lo)))
         return dev
 
     def run_device(self, batch: DeviceBatch, staged: dict | None = None,
@@ -350,19 +371,19 @@ class BatchDecoder:
         # Pallas needs the bucket's word array + per-lane tables + output
         # chunks inside the VMEM budget; oversized buckets (wide streams at
         # the 128-lane minimum) use the XLA path.
-        for (w, c), idx in d["huff_plan"]:
+        for (w, c, tw), idx in d["huff_plan"]:
           with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
                 d["huff_streams"], d["huff_pos"], d["huff_tid"],
                 d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
-                lit_full, frame_ok, width=w, max_symbols=c,
+                lit_full, frame_ok, width=w, max_symbols=c, table_width=tw,
                 use_pallas=pallas_ok and len(idx) *
                 (w + HUFF_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
 
         # --- stage 1b: sequence lanes, bucketed --------------------------------
         ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
-        for (w, c), idx in d["seq_plan"]:
+        for (w, c, tws), idx in d["seq_plan"]:
           with scope(f"sequence_decode_{w}x{c}"):
             ll_full, ml_full, of_full, frame_ok = _seq_bucket(
                 d["seq_streams"], d["seq_pos"], d["seq_n"], d["ll_tid"],
@@ -371,6 +392,7 @@ class BatchDecoder:
                 d["seq_dst_frame"], d["seq_dst_off"], d["seq_lit_total"],
                 d["seq_trail_slot"], jnp.asarray(idx),
                 ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c,
+                table_widths=tws,
                 use_pallas=pallas_ok and len(idx) *
                 (w + SEQ_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
 

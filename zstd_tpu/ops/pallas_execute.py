@@ -3,8 +3,19 @@
 Replaces the XLA pointer-doubling executor (zstd_tpu/ops/execute.py) on real
 TPUs. The doubling formulation is bottlenecked by XLA's random-gather
 throughput (~70 M elem/s measured on v5e); this kernel instead walks each
-lane's sequence list serially (grid = one step per frame lane, inputs
-double-buffered by the Pallas pipeline) and moves bytes with wide VPU ops:
+lane's sequence list serially and moves bytes with wide VPU ops.
+
+v2 structure (v1 at ~180 ns/sequence was latency-stall-bound: one lane's
+dependent chain of SMEM reads -> dynamic loads -> rolls -> store left the
+issue pipeline idle):
+  - FOUR lanes per grid step, their per-sequence chains interleaved in one
+    fori body — independent chains fill each other's stalls
+  - the dominant case (short literal run + short match, source disjoint
+    from this sequence's own writes: off >= ll + ml) is handled by an
+    always-executed BRANCHLESS fused copy: both sources loaded with the
+    two-source roll trick, one 4-row masked store covers literals + match
+  - rare cases (long runs, overlapping/periodic matches off < ll + ml)
+    take the v1 branched paths under a single pl.when
 
   - literal runs / matches with offset >= 128: chunked copies — two
     dynamically-offset sublane loads + lane rotations + masked store per
@@ -38,11 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 # (a 128 KiB frame can hold up to ~43K three-byte matches) take the XLA
 # executor instead.
 MAX_SMEM_SEQS = 32768
-_K = 8  # rows per copy chunk (1 KiB)
+_K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
+_L = 4    # lanes interleaved per grid step
+_FR = 4   # fused-path store window rows (span <= 3 rows + alignment row)
 
 
-def _copy_chunked(src_ref, out_ref, sb, db, n, rows_k: int, src_rows: int):
-    """Copy n bytes from src_ref byte sb to out_ref byte db.
+def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
+                  src_rows: int):
+    """Copy n bytes from src_ref byte sb to out_ref byte db (lane `lane`).
 
     rows_k rows (128 bytes each) per iteration. Caller guarantees either
     src_ref is not out_ref, or (db - sb) >= 128 * rows_k (no chunk reads its
@@ -66,20 +80,20 @@ def _copy_chunked(src_ref, out_ref, sb, db, n, rows_k: int, src_rows: int):
         # rs can be -1 on the first chunk (src bytes below 0 are masked
         # off); a plain clamp would shift the whole window, so roll the
         # rows down by one instead — garbage lands in a masked row.
-        blk = src_ref[0, pl.ds(jnp.clip(rs, 0, rmax), rows_k + 1), :]
+        blk = src_ref[lane, pl.ds(jnp.clip(rs, 0, rmax), rows_k + 1), :]
         blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
         rot = pltpu.roll(blk, sh, axis=1)
         val = jnp.where(jj < 128 - m, rot[0:rows_k], rot[1:rows_k + 1])
         d = 128 * rd + 128 * rr + jj
         mask = (d >= db) & (d < db + n)
-        cur = out_ref[0, pl.ds(rd, rows_k), :]
-        out_ref[0, pl.ds(rd, rows_k), :] = jnp.where(mask, val, cur)
+        cur = out_ref[lane, pl.ds(rd, rows_k), :]
+        out_ref[lane, pl.ds(rd, rows_k), :] = jnp.where(mask, val, cur)
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
 
 
-def _fill_periodic(out_ref, db, off, n):
+def _fill_periodic(out_ref, lane, db, off, n):
     """Match copy with off < 128: out[d] = pattern[(d - db) % off].
 
     The pattern is the off bytes before db (already written). Each chunk is
@@ -90,7 +104,7 @@ def _fill_periodic(out_ref, db, off, n):
     rowp = jnp.maximum(pb >> 7, 0)
     mp = pb & 127
     shp = (128 - mp) & 127
-    rot = pltpu.roll(out_ref[0, pl.ds(rowp, 2), :], shp, axis=1)
+    rot = pltpu.roll(out_ref[lane, pl.ds(rowp, 2), :], shp, axis=1)
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     pat = jnp.where(jrow < 128 - mp, rot[0:1], rot[1:2])  # [j] valid j < off
 
@@ -111,43 +125,19 @@ def _fill_periodic(out_ref, db, off, n):
         oh = p3 == ph[:, :, None]
         val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
         mask = (d >= db) & (d < db + n)
-        cur = out_ref[0, pl.ds(rd, _K), :]
-        out_ref[0, pl.ds(rd, _K), :] = jnp.where(mask, val, cur)
+        cur = out_ref[lane, pl.ds(rd, _K), :]
+        out_ref[lane, pl.ds(rd, _K), :] = jnp.where(mask, val, cur)
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
 
 
-SEQ_CHUNK = 4096  # records per grid step; larger SMEM blocks measurably
+SEQ_CHUNK = 1024  # records per grid step; larger SMEM blocks measurably
                   # slow the dynamic scalar reads that pace the seq loop
+                  # (and 4 lanes x 5 record arrays must fit SMEM)
 
 
-def _copy_short(src_ref, out_ref, sb, db, n, src_rows: int, consts):
-    """Single-chunk copy for runs spanning <= 2 dst rows (n <= 129 worst
-    case; callers bound n <= 128). Same two-source roll trick as
-    _copy_chunked but without the loop — short runs dominate real data and
-    the per-copy fixed cost is what paces the kernel."""
-    jj, d2, _ = consts
-    delta = sb - db
-    q = delta >> 7
-    m = delta & 127
-    sh = (128 - m) & 127
-    rd = db >> 7
-    rs = rd + q
-    # one (3,128) load + one roll serve both source row-pairs: A = rows
-    # 0..1, B = rows 1..2 of the rolled block. rs = -1 is handled by a
-    # sublane roll (garbage lands in a masked row).
-    blk = src_ref[0, pl.ds(jnp.clip(rs, 0, src_rows - 3), 3), :]
-    blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
-    rot = pltpu.roll(blk, sh, axis=1)
-    val = jnp.where(jj < 128 - m, rot[0:2], rot[1:3])
-    d = 128 * rd + d2
-    mask = (d >= db) & (d < db + n)
-    cur = out_ref[0, pl.ds(rd, 2), :]
-    out_ref[0, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
-
-
-def _fill_periodic_short(out_ref, db, off, n, consts):
+def _fill_periodic_short(out_ref, lane, db, off, n, consts):
     """Periodic fill for matches spanning <= 2 dst rows: one (2,128,128)
     one-hot instead of the K-row loop's (8,128,128) per chunk."""
     jrow, d2, p3 = consts
@@ -155,7 +145,7 @@ def _fill_periodic_short(out_ref, db, off, n, consts):
     rowp = jnp.maximum(pb >> 7, 0)
     mp = pb & 127
     shp = (128 - mp) & 127
-    rot = pltpu.roll(out_ref[0, pl.ds(rowp, 2), :], shp, axis=1)
+    rot = pltpu.roll(out_ref[lane, pl.ds(rowp, 2), :], shp, axis=1)
     pat = jnp.where(jrow[0:1] < 128 - mp, rot[0:1], rot[1:2])
     rd = db >> 7
     d = 128 * rd + d2
@@ -163,78 +153,175 @@ def _fill_periodic_short(out_ref, db, off, n, consts):
     oh = p3 == ph[:, :, None]
     val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
     mask = (d >= db) & (d < db + n)
-    cur = out_ref[0, pl.ds(rd, 2), :]
-    out_ref[0, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+    cur = out_ref[lane, pl.ds(rd, 2), :]
+    out_ref[lane, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
 
 
-def _exec_kernel(ll_ref, ml_ref, of_ref, ns_ref, lit_ref, out_ref, ok_ref,
-                 cur_ref, lit_rows: int, out_rows: int):
+def _window(ref, lane, row, sh, rows: int, max_rows: int):
+    """(rows,128) byte window of `ref` starting at row `row` (>= -1),
+    rotated left by sh within rows — the two-source-roll gather used by
+    every copy. Returns the rolled (rows+1, 128) block; caller selects
+    rot[0:rows] vs rot[1:rows+1] by column."""
+    blk = ref[lane, pl.ds(jnp.clip(row, 0, max_rows - rows - 1), rows + 1), :]
+    blk = jnp.where(row < 0, pltpu.roll(blk, 1, axis=0), blk)
+    return pltpu.roll(blk, sh, axis=1)
+
+
+def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
+                 lit_rows: int, out_rows: int, consts4):
+    """Branchless fused literal+match copy for one sequence, masked by `ok`.
+
+    Covers spans (op&127) + ll + ml <= 128*(_FR-1) with match source fully
+    below op (off >= ll + ml). One load each from literals and output
+    history, one masked (_FR,128) read-modify-write store.
+    """
+    jj5, rr, d4 = consts4
+    jj = jj5[:_FR]
+    rd = op >> 7
+    opm = op + ll
+    end = opm + ml
+
+    # literal source window aligned to dst rows
+    dl = lp - op
+    ql = dl >> 7
+    ml_ = dl & 127
+    lrot = _window(lit_ref, lane, rd + ql, (128 - ml_) & 127, _FR, lit_rows)
+    lval = jnp.where(jj < 128 - ml_, lrot[0:_FR], lrot[1:_FR + 1])
+
+    # match source window (src = d - off for d >= opm), aligned to opm's row
+    # rdm — aligning to rd could place the window start below row -1 when ll
+    # spans rows and off ~ opm (src start row(opm-off) >= 0 guarantees
+    # rdm + qm >= -1, which _window's roll-down trick handles) — then
+    # sublane-rolled down to the rd-based store window.
+    rdm = opm >> 7
+    dm = -off
+    qm = dm >> 7
+    mm = dm & 127
+    mrot = _window(out_ref, lane, rdm + qm, (128 - mm) & 127, _FR, out_rows)
+    mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
+    # shift down to the rd-based store window; Mosaic has no dynamic
+    # sublane rotate, so select among the static shifts (dr <= _FR - 1)
+    dr = rdm - rd
+    shifted = mval
+    for s in range(1, _FR):
+        shifted = jnp.where(dr == s, pltpu.roll(mval, s, axis=0), shifted)
+    mval = shifted
+
+    d = 128 * rd + d4
+    val = jnp.where(d < opm, lval, mval)
+    mask = ok & (d >= op) & (d < end)
+    cur = out_ref[lane, pl.ds(rd, _FR), :]
+    out_ref[lane, pl.ds(rd, _FR), :] = jnp.where(mask, val, cur)
+
+
+def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
+                 out_ref, lit_rows: int, out_rows: int):
     c = pl.program_id(1)
-    nseq = ns_ref[0, 0, 0]
-
-    @pl.when(c == 0)
-    def _():
-        cur_ref[0] = 0  # out cursor
-        cur_ref[1] = 0  # literal cursor
-
     base = c * SEQ_CHUNK
-    count = jnp.clip(nseq - base, 0, SEQ_CHUNK)
+    counts = [jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK)
+              for j in range(_L)]
+    count = counts[0]
+    for j in range(1, _L):
+        count = jnp.maximum(count, counts[j])
 
-    # loop-invariant iotas for the short-run fast paths (the (2,128,128)
-    # one-hot iota is ~32 vregs — rebuilding it per sequence is pure waste)
+    # loop-invariant iotas (the (2,128,128) one-hot iota is ~32 vregs —
+    # rebuilding it per sequence is pure waste)
     jj2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
     rr2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
     consts = (jj2, 128 * rr2 + jj2,
               jax.lax.broadcasted_iota(jnp.int32, (2, 128, 128), 2))
+    jj4 = jax.lax.broadcasted_iota(jnp.int32, (_FR + 1, 128), 1)
+    rr4 = jax.lax.broadcasted_iota(jnp.int32, (_FR, 128), 0)
+    consts4 = (jj4, rr4, 128 * rr4 + jj4[:_FR])
 
-    def seq_body(i, carry):
-        op, lp = carry
-        ll = ll_ref[0, 0, i]
-        ml = ml_ref[0, 0, i]
-        off = of_ref[0, 0, i]
-
-        # a run spans <= 2 dst rows iff (dst&127) + n <= 256
+    def slow_seq(j, op, lp, ll, ml, off):
+        """v1 branched dispatch — long runs and overlapping matches."""
         @pl.when((ll > 0) & ((op & 127) + ll <= 256))
         def _():
-            _copy_short(lit_ref, out_ref, lp, op, ll, lit_rows, consts)
+            dl = lp - op
+            q = dl >> 7
+            m = dl & 127
+            rot = _window(lit_ref, j, (op >> 7) + q, (128 - m) & 127, 2,
+                          lit_rows)
+            val = jnp.where(consts[0] < 128 - m, rot[0:2], rot[1:3])
+            rd = op >> 7
+            d = 128 * rd + consts[1]
+            mask = (d >= op) & (d < op + ll)
+            cur = out_ref[j, pl.ds(rd, 2), :]
+            out_ref[j, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
 
         @pl.when((op & 127) + ll > 256)
         def _():
-            _copy_chunked(lit_ref, out_ref, lp, op, ll, _K, lit_rows)
+            _copy_chunked(lit_ref, out_ref, j, lp, op, ll, _K, lit_rows)
 
         opm = op + ll
         short_m = (opm & 127) + ml <= 256
 
         @pl.when((ml > 0) & (off >= 128) & short_m & (off >= ml))
         def _():
-            _copy_short(out_ref, out_ref, opm - off, opm, ml, out_rows,
-                        consts)
+            dm = -off
+            q = dm >> 7
+            m = dm & 127
+            rot = _window(out_ref, j, (opm >> 7) + q, (128 - m) & 127, 2,
+                          out_rows)
+            val = jnp.where(consts[0] < 128 - m, rot[0:2], rot[1:3])
+            rd = opm >> 7
+            d = 128 * rd + consts[1]
+            mask = (d >= opm) & (d < opm + ml)
+            cur = out_ref[j, pl.ds(rd, 2), :]
+            out_ref[j, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
 
-        @pl.when((ml > 0) & (off >= 128 * _K)
-                 & ~(short_m & (off >= ml)))
+        @pl.when((ml > 0) & (off >= 128 * _K) & ~(short_m & (off >= ml)))
         def _():
-            _copy_chunked(out_ref, out_ref, opm - off, opm, ml, _K, out_rows)
+            _copy_chunked(out_ref, out_ref, j, opm - off, opm, ml, _K,
+                          out_rows)
 
         @pl.when((ml > 0) & (off >= 128) & (off < 128 * _K)
                  & ~(short_m & (off >= ml)))
         def _():
-            _copy_chunked(out_ref, out_ref, opm - off, opm, ml, 1, out_rows)
+            _copy_chunked(out_ref, out_ref, j, opm - off, opm, ml, 1,
+                          out_rows)
 
         @pl.when((ml > 0) & (off < 128) & short_m)
         def _():
-            _fill_periodic_short(out_ref, opm, off, ml, consts)
+            _fill_periodic_short(out_ref, j, opm, off, ml, consts)
 
         @pl.when((ml > 0) & (off < 128) & ~short_m)
         def _():
-            _fill_periodic(out_ref, opm, off, ml)
+            _fill_periodic(out_ref, j, opm, off, ml)
 
-        return opm + ml, lp + ll
+    span_max = 128 * (_FR - 1)
 
-    op, lp = jax.lax.fori_loop(0, count, seq_body,
-                               (cur_ref[0], cur_ref[1]))
-    cur_ref[0] = op
-    cur_ref[1] = lp
-    ok_ref[0, 0, 0] = op
+    def seq_body(i, carry):
+        # cursors are precomputed prefix sums (XLA side): no serial carry —
+        # every lane-iteration is fully independent, maximizing ILP
+        recs = []
+        for j in range(_L):
+            op = op_ref[j, 0, i]
+            lp = lp_ref[j, 0, i]
+            ll = ll_ref[j, 0, i]
+            ml = ml_ref[j, 0, i]
+            off = of_ref[j, 0, i]
+            active = i < counts[j]
+            fits = (op & 127) + ll + ml <= span_max
+            disjoint = (ml == 0) | (off >= ll + ml)
+            common = active & fits & disjoint
+            recs.append((j, op, lp, ll, ml, off, active, common))
+
+        # branchless fused path for all four lanes first (their chains are
+        # independent — interleaved issue hides each other's load latency)
+        for j, op, lp, ll, ml, off, active, common in recs:
+            _fused_short(lit_ref, out_ref, j, lp, op, ll, ml, off, common,
+                         lit_rows, out_rows, consts4)
+
+        for j, op, lp, ll, ml, off, active, common in recs:
+            @pl.when(active & ~common)
+            def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
+                slow_seq(j, op, lp, ll, ml, off)
+
+        return carry
+
+    jax.lax.fori_loop(0, count, seq_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
@@ -246,7 +333,15 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     output, length overflow, too many sequences for SMEM) are flagged not-ok
     and left to the caller's fallback path.
     """
-    B, S = ll.shape
+    B0, S = ll.shape
+    if B0 % _L:
+        pad = _L - B0 % _L
+        ll = jnp.pad(ll, ((0, pad), (0, 0)))
+        ml = jnp.pad(ml, ((0, pad), (0, 0)))
+        offset = jnp.pad(offset, ((0, pad), (0, 0)))
+        literals = jnp.pad(literals, ((0, pad), (0, 0)))
+        out_len = jnp.pad(out_len, (0, pad))
+    B = ll.shape[0]
     lit_w = literals.shape[1]
     out_rows = (out_width + 127) // 128 + _K + 2
     lit_rows = (lit_w + 127) // 128 + _K + 2
@@ -282,34 +377,31 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     lit_i32 = jnp.pad(literals, ((0, 0), (0, lit_pad))).astype(
         jnp.int32).reshape(B, lit_rows, 128)
 
-    smem_rec = pl.BlockSpec((1, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
+    # exclusive prefix cursors (out position / literal position per record):
+    # computing them here removes the kernel's serial carry chain
+    opv = endpos - run
+    lpv = lit_need - ll
+
+    smem_rec = pl.BlockSpec((_L, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
-    out_i32, endp = pl.pallas_call(
+    out_i32 = pl.pallas_call(
         functools.partial(_exec_kernel, lit_rows=lit_rows, out_rows=out_rows),
-        grid=(B, n_chunks),
+        grid=(B // _L, n_chunks),
         in_specs=[
-            smem_rec, smem_rec, smem_rec,
-            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
+            smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
+            pl.BlockSpec((_L, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, lit_rows, 128), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((_L, lit_rows, 128), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, out_rows, 128), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-        ),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        out_specs=pl.BlockSpec((_L, out_rows, 128), lambda l, c: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
         interpret=interpret,
-    )(rec3(ll), rec3(ml), rec3(offset), nseq[:, None, None], lit_i32)
+    )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
+      nseq[:, None, None], lit_i32)
 
-    ok = ok & (endp[:, 0, 0] == out_len)
     flat = out_i32.reshape(B, out_rows * 128)[:, :out_width]
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < out_len[:, None], flat, 0).astype(jnp.uint8)
-    return out, ok
+    return out[:B0], ok[:B0]

@@ -29,7 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zstd_tpu.ops.pallas_sequence import _fetch, _lookup
+from zstd_tpu.ops.pallas_sequence import (
+    _CW,
+    _fetch,
+    _fetch_cached,
+    _lookup,
+    _refill_cache,
+)
+
+# refill cadence: a refill leaves >= _CW*32 - 31 = 993 cached bits below
+# the fill cursor and one 2-symbol group consumes <= 22 bits, so 32 groups
+# between refills can never underflow.
+_CACHE_R = 32
 
 LIT_CHUNK = 512  # symbols per grid step (must be even: 2-symbol groups)
 
@@ -54,8 +65,9 @@ def _top_bits(hi, n_u):
 
 
 def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
-                 lit_out, ok_ref, st_ref, n_chunks: int):
+                 lit_out, ok_ref, st_ref, cache_ref, Nw: int, n_chunks: int):
     pid = pl.program_id(0)
+    nblk = (Nw + _CW - 1) // _CW
     mb = mb_ref[0:1, :]
     mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
@@ -97,8 +109,13 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
 
     def group(g, carry):
         state, vpos, ok, hi, lo, fp, used = carry
+
+        @pl.when(g % _CACHE_R == 0)
+        def _():
+            st_ref[7:8, :] = _refill_cache(words_ref, cache_ref, fp, nblk)
+
         # refill first: `used` <= 22 bits are free at the container bottom
-        newbits, fp = _fetch(words_ref, fp, used)
+        newbits, fp = _fetch_cached(cache_ref, st_ref[7:8, :], fp, used)
         lo = lo | newbits
         used = jnp.zeros_like(used)
 
@@ -142,6 +159,7 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
     B, L = streams_u8.shape
     TW = tables.shape[1]
     Nw = (L + 3) // 4 + 2
+    Nw = (Nw + _CW - 1) // _CW * _CW  # whole cache blocks (refill slices)
     pad = Nw * 4 - L
     by = jnp.pad(streams_u8, ((0, 0), (0, pad))).astype(jnp.uint32)
     by = by.reshape(B, Nw, 4)
@@ -160,7 +178,7 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                                       pipeline_mode=pl.Buffered(1),
                                       memory_space=pltpu.VMEM)
     lit_o, okv = pl.pallas_call(
-        functools.partial(_huff_kernel, n_chunks=n_chunks),
+        functools.partial(_huff_kernel, Nw=Nw, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
                   full((TW // 2, B)), full((1, B))],
@@ -168,7 +186,8 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                                 memory_space=pltpu.VMEM), full((1, B))),
         out_shape=(jax.ShapeDtypeStruct((S, B), jnp.int32),
                    jax.ShapeDtypeStruct((1, B), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
+                        pltpu.VMEM((2 * _CW, B), jnp.int32)],
         interpret=interpret,
     )(words.T, row(init_pos), row(n_symbols), packed.T, row(max_bits))
 

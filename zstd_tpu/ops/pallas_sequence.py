@@ -109,6 +109,76 @@ def _fetch_window(w_ref, base):
     return v
 
 
+# Sliding word-window cache: the full (Nw, B) fetch scan above costs a
+# pass over the WHOLE stream per step (per-step cost grows with stream
+# width, the wide-bucket wall). Consumption is monotonically downward, so
+# a (2*_CW, B) scratch cache covering the words at/below the cursor serves
+# _CACHE_R steps of fetches; only the refill (every _CACHE_R steps) scans
+# the full array. Guaranteed safe: a refill leaves >= _CW*32 = 1024 bits
+# below the cursor and one step consumes <= 89 bits, so _CACHE_R = 10
+# never underflows on a valid stream (malformed overconsumption is caught
+# by the final pos == 0 check as before).
+_CW = 32
+_CACHE_R = 10
+
+
+def _refill_cache(w_ref, cache_ref, pos, nblk: int):
+    """Load the two _CW-word blocks covering bit pos-1 downward into
+    cache_ref rows [0, 2*_CW); returns t0 (1,B), the word index of row 0."""
+    hi_w = jnp.maximum(pos - 1, 0) >> 5
+    b0 = jnp.maximum((hi_w >> 5) - 1, 0)  # _CW = 32 = 1 << 5
+    zero = jnp.zeros((_CW,) + pos.shape[1:], jnp.int32)
+    # static unrolled block sweep: dynamic sublane slices in a fori are
+    # an order of magnitude slower than static slices on this toolchain
+    a0, a1 = zero, zero
+    for b in range(nblk):
+        blk = w_ref[b * _CW:(b + 1) * _CW, :]
+        a0 = jnp.where(b0 == b, blk, a0)
+        a1 = jnp.where(b0 + 1 == b, blk, a1)
+    cache_ref[0:_CW, :] = a0
+    cache_ref[_CW:2 * _CW, :] = a1
+    return b0 * _CW
+
+
+def _fetch_cached(cache_ref, t0, pos, n):
+    """_fetch against the sliding cache (same contract: n bits ending at
+    bit `pos` per lane, phantom zeros below bit 0)."""
+    C = cache_ref[:]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0)
+    new_pos = pos - n
+    start = jnp.maximum(new_pos, 0)
+    widx = (start >> 5) - t0
+    w0 = jnp.sum(jnp.where(rows_iota == widx, C, 0), axis=0,
+                 keepdims=True).astype(jnp.uint32)
+    w1 = jnp.sum(jnp.where(rows_iota == widx + 1, C, 0), axis=0,
+                 keepdims=True).astype(jnp.uint32)
+    boff = (start & 31).astype(jnp.uint32)
+    lo = w0 >> boff
+    hi = jnp.where(boff == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - boff))
+    n_u = n.astype(jnp.uint32)
+    mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << n_u) - 1)
+    val = (lo | hi) & mask
+    phantom = start - new_pos
+    ph_u = jnp.minimum(phantom, 31).astype(jnp.uint32)
+    val = jnp.where(phantom >= 32, jnp.uint32(0), (val << ph_u) & mask)
+    return val, new_pos
+
+
+def _fetch_window_cached(cache_ref, t0, base):
+    """_fetch_window against the cache: words [base, base+4) are cache rows
+    [base-t0, base-t0+4). Words above the cached top only ever hold already
+    -consumed bits (base <= hi_w), and rows below 0 cannot occur on a valid
+    stream within _CACHE_R steps — both read as 0 harmlessly."""
+    C = cache_ref[:]
+    d = jax.lax.broadcasted_iota(jnp.int32, C.shape, 0) - (base - t0)
+    v = []
+    for k in range(4):
+        v.append(jnp.sum(jnp.where(d == k, C, 0), axis=0,
+                         keepdims=True).astype(jnp.uint32))
+    return v
+
+
 def _extract(v, o, n):
     """Bits [o, o+n) (n <= 32) of the 128-bit window v (list of 4 u32).
 
@@ -130,8 +200,9 @@ def _extract(v, o, n):
 def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
                 mltab_ref, lllog_ref, oflog_ref, mllog_ref, luts_ref,
                 ll_out, ml_out, of_out, okpos_ref,
-                st_ref, Nw: int, B: int, n_chunks: int):
+                st_ref, cache_ref, Nw: int, B: int, n_chunks: int):
     pid = pl.program_id(0)
+    nblk = (Nw + _CW - 1) // _CW
     ll_pack = luts_ref[:, 0:1]   # base | xtra << 24
     ml_pack = luts_ref[:, 1:2]
 
@@ -155,6 +226,12 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
 
     def step(k, carry):
         s_ll, s_of, s_ml, pos, ok = carry
+
+        @pl.when(k % _CACHE_R == 0)
+        def _():
+            st_ref[5:6, :] = _refill_cache(words_ref, cache_ref, pos, nblk)
+
+        t0 = st_ref[5:6, :]
         i = pid * SEQ_CHUNK + k
         active = (i < nseq).astype(jnp.int32)
         not_last = i < nseq - 1
@@ -187,7 +264,7 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         new_pos = pos - (nb_ofx + nb2 + nbs)
         start = jnp.maximum(new_pos, 0)
         base = start >> 5
-        v = _fetch_window(words_ref, base)
+        v = _fetch_window_cached(cache_ref, t0, base)
         o3 = start - (base << 5)
         o2 = o3 + nbs
         o1 = o2 + nb2
@@ -253,6 +330,7 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
     """
     B, L = streams_u8.shape
     Nw = (L + 3) // 4 + 2  # >=2 zero pad words (fetch reads word w+1)
+    Nw = (Nw + _CW - 1) // _CW * _CW  # whole cache blocks (refill slices)
     pad = Nw * 4 - L
     by = jnp.pad(streams_u8, ((0, 0), (0, pad))).astype(jnp.uint32)
     by = by.reshape(B, Nw, 4)
@@ -277,7 +355,8 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
         functools.partial(_seq_kernel, Nw=Nw, B=B, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((512, B)), full((256, B)), full((512, B)),
+                  full((ll_tab.shape[1], B)), full((of_tab.shape[1], B)),
+                  full((ml_tab.shape[1], B)),
                   full((1, B)), full((1, B)), full((1, B)),
                   pl.BlockSpec((64, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -288,7 +367,8 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
             jax.ShapeDtypeStruct((S, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
+                        pltpu.VMEM((2 * _CW, B), jnp.int32)],
         interpret=interpret,
     )
     luts = jnp.asarray(np.concatenate(

@@ -37,6 +37,8 @@ def test_dict_corpus_on_device_pipeline():
     batch = dec.prepare(frames)
     assert not any(m.fallback for m in batch.metas), \
         "dict frames must take the device path"
+    bad = [(m.index, m.error) for m in batch.metas if not m.ok]
+    assert not bad, f"dict frames failed host parse: {bad[:3]}"
     results = dec.decode_frames(frames)
     for zf, got, exp in zip(zfiles, results, expected):
         assert got == exp, os.path.basename(zf)

@@ -151,7 +151,8 @@ def test_pallas_huffman_matches_xla():
         streams, pos, jnp.asarray(tid), jnp.asarray(b.huff_tables),
         jnp.asarray(b.huff_maxbits), nsym, max_symbols)
     lits_p, ok_p = decode_huffman_lanes_pallas(
-        streams, pos, jnp.asarray(b.huff_tables[tid]),
+        streams, pos, jnp.asarray(b.huff_bnd[tid]),
+        jnp.asarray(b.huff_syms[tid]),
         jnp.asarray(b.huff_maxbits[tid]), nsym, max_symbols, interpret=True)
 
     act = np.arange(max_symbols)[None, :] < np.asarray(nsym)[:, None]

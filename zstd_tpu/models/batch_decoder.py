@@ -115,8 +115,8 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 2048):
                    static_argnames=("width", "max_symbols", "table_width",
                                     "use_pallas"))
 def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
-                 nsym_full, dst_frame_full, dst_off_full, idx, lit_full,
-                 frame_ok, width: int, max_symbols: int,
+                 bnd, syms, nsym_full, dst_frame_full, dst_off_full, idx,
+                 lit_full, frame_ok, width: int, max_symbols: int,
                  table_width: int = 2048, use_pallas: bool = False):
     # gather this bucket's lanes on device (idx rows, first `width` cols)
     cols = jnp.arange(width, dtype=jnp.int32)
@@ -126,15 +126,14 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
     nsym = nsym_full[idx]
     dst_frame = dst_frame_full[idx]
     dst_off = dst_off_full[idx]
-    # the kernel's table-lookup scan costs ~width-of-table per symbol:
-    # slice to the bucket's true max table size (1 << max max_bits)
-    tables = tables[:, :table_width]
 
     if use_pallas:
         lits, ok = decode_huffman_lanes_pallas(
-            streams, pos, tables[tid], maxbits[tid], nsym, max_symbols)
+            streams, pos, bnd[tid], syms[tid], maxbits[tid], nsym,
+            max_symbols)
     else:
-        lits, ok = decode_huffman_lanes(streams, pos, tid, tables, maxbits,
+        lits, ok = decode_huffman_lanes(streams, pos, tid,
+                                        tables[:, :table_width], maxbits,
                                         nsym, max_symbols)
     lit_w = lit_full.shape[1]
     j = jnp.arange(max_symbols, dtype=jnp.int32)[None, :]
@@ -303,7 +302,8 @@ class BatchDecoder:
         """
         dev = {}
         for name in ("huff_streams", "huff_pos", "huff_tid", "huff_tables",
-                     "huff_maxbits", "huff_nsym", "huff_dst_frame",
+                     "huff_maxbits", "huff_bnd", "huff_syms",
+                     "huff_nsym", "huff_dst_frame",
                      "huff_dst_off", "seq_streams", "seq_pos", "seq_n",
                      "ll_tid", "of_tid", "ml_tid", "ll_tables", "of_tables",
                      "ml_tables", "ll_logs", "of_logs", "ml_logs",
@@ -375,7 +375,8 @@ class BatchDecoder:
           with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
                 d["huff_streams"], d["huff_pos"], d["huff_tid"],
-                d["huff_tables"], d["huff_maxbits"], d["huff_nsym"],
+                d["huff_tables"], d["huff_maxbits"], d["huff_bnd"],
+                d["huff_syms"], d["huff_nsym"],
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
                 lit_full, frame_ok, width=w, max_symbols=c, table_width=tw,
                 use_pallas=pallas_ok and len(idx) *

@@ -67,6 +67,8 @@ class DeviceBatch:
     huff_nsym: np.ndarray      # (Bs,) i32
     huff_tables: np.ndarray    # (Th, 2048) u16
     huff_maxbits: np.ndarray   # (Th,) i32
+    huff_bnd: np.ndarray       # (Th, 16) i32 boundary rows (pallas decode)
+    huff_syms: np.ndarray      # (Th, 64) i32 rank list packed 4 bytes/row
     huff_dst_frame: np.ndarray  # (Bs,) i32
     huff_dst_off: np.ndarray    # (Bs,) i32
     huff_len: np.ndarray        # (Bs,) i32 true stream byte length
@@ -148,6 +150,8 @@ class Framer:
         self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
         self.seq_lanes = []    # (stream_bytes, pos, n, ll/of/ml tid, frame, dst, lit_total, trail_slot)
         self.huff_tabs = _TableCache(2048)
+        self.huff_bnd = []
+        self.huff_syms = []
         self.ll_tabs = _TableCache(512)
         self.of_tabs = _TableCache(256)
         self.ml_tabs = _TableCache(512)
@@ -164,7 +168,8 @@ class Framer:
                  len(self.huff_tabs.rows), len(self.huff_maxbits),
                  len(self.ll_tabs.rows), len(self.of_tabs.rows),
                  len(self.ml_tabs.rows), len(self.ll_logs),
-                 len(self.of_logs), len(self.ml_logs))
+                 len(self.of_logs), len(self.ml_logs),
+                 len(self.huff_bnd))
         fr = {
             "lit_parts": [],   # (offset, bytes) host-known literal content
             "lit_cursor": 0,
@@ -187,12 +192,14 @@ class Framer:
             meta.fallback = True
             # strip this frame's lanes/tables so one big frame does not
             # inflate the whole batch's widths
+            self._dict_tids.clear()  # stripped table rows invalidate ids
             (self.huff_lanes[marks[0]:], self.seq_lanes[marks[1]:],
              self.huff_tabs.rows[marks[2]:], self.huff_maxbits[marks[3]:],
              self.ll_tabs.rows[marks[4]:], self.of_tabs.rows[marks[5]:],
              self.ml_tabs.rows[marks[6]:], self.ll_logs[marks[7]:],
-             self.of_logs[marks[8]:], self.ml_logs[marks[9]:]) = (
-                [], [], [], [], [], [], [], [], [], [])
+             self.of_logs[marks[8]:], self.ml_logs[marks[9]:],
+             self.huff_bnd[marks[10]:], self.huff_syms[marks[10]:]) = (
+                [], [], [], [], [], [], [], [], [], [], [], [])
             fr = {"lit_parts": [], "lit_cursor": 0, "seqs": [],
                   "seq_cursor": 0, "out_bound": 0, "fcs": None}
         meta.lit_len = fr["lit_cursor"]
@@ -302,12 +309,7 @@ class Framer:
             if section.lit_type == C.LIT_COMPRESSED:
                 table, consumed = huff0.parse_huffman_table(payload)
                 q = consumed
-                row = np.zeros(2048, dtype=np.uint16)
-                sz = 1 << table.max_bits
-                row[:sz] = (table.symbol.astype(np.uint16)
-                            | (table.num_bits.astype(np.uint16) << 8))
-                cur_huff = self.huff_tabs.add(row)
-                self.huff_maxbits.append(table.max_bits)
+                cur_huff = self._add_huff_table(table)
             else:
                 if cur_huff is None:
                     raise ZstdError("treeless literals without a table")
@@ -376,11 +378,54 @@ class Framer:
         fr["out_bound"] += C.MAX_BLOCK_SIZE
         return cur_huff, cur_ll, cur_of, cur_ml
 
+    def _add_huff_table(self, table) -> int:
+        """Register a Huffman LUT + its boundary form; returns the tid."""
+        from zstd_tpu.ops.huffman import huff_boundary_rows
+
+        row = np.zeros(2048, dtype=np.uint16)
+        sz = 1 << table.max_bits
+        row[:sz] = (table.symbol.astype(np.uint16)
+                    | (table.num_bits.astype(np.uint16) << 8))
+        tid = self.huff_tabs.add(row)
+        self.huff_maxbits.append(table.max_bits)
+        bnd, syms = huff_boundary_rows(table)
+        self.huff_bnd.append(bnd)
+        self.huff_syms.append(syms)
+        return tid
+
     def _add_huff_lane(self, stream: bytes, tid: int, nsym: int,
                        fidx: int, dst_off: int) -> None:
         self.huff_lanes.append(dict(
             stream=bytes(stream), pos=host_initial_position(bytes(stream)),
             tid=tid, nsym=nsym, frame=fidx, dst=dst_off))
+
+    def _register_dict(self, d):
+        """Device table ids for a dictionary's entropy state (cached by id).
+
+        The tables become the frame's initial cross-block state, so Treeless
+        literals and Repeat sequence modes work from block 1 (parity with
+        DecoderScratch::init_from_dict, scratch.rs:70-78)."""
+        key = d.dict_id
+        if key in self._dict_tids:
+            return self._dict_tids[key]
+        caches = {"ll": self.ll_tabs, "of": self.of_tabs, "ml": self.ml_tabs}
+        logs = {"ll": self.ll_logs, "of": self.of_logs, "ml": self.ml_logs}
+        widths = {"ll": 512, "of": 256, "ml": 512}
+        cur_huff = None
+        if d.huffman_table is not None:
+            cur_huff = self._add_huff_table(d.huffman_table)
+        tids = {}
+        for kind, tab in (("ll", d.ll_table), ("of", d.of_table),
+                          ("ml", d.ml_table)):
+            if tab is None:
+                tids[kind] = None
+            else:
+                tids[kind] = caches[kind].add(
+                    pack_fse_table(tab, widths[kind]))
+                logs[kind].append(tab.acc_log)
+        out = (cur_huff, tids["ll"], tids["of"], tids["ml"])
+        self._dict_tids[key] = out
+        return out
 
     def _setup_fse(self, mode, data, cur, kind):
         caches = {"ll": self.ll_tabs, "of": self.of_tabs, "ml": self.ml_tabs}
@@ -498,6 +543,10 @@ class Framer:
             huff_nsym=huff_nsym,
             huff_tables=self.huff_tabs.stack(np.uint16),
             huff_maxbits=np.asarray(self.huff_maxbits or [1], np.int32),
+            huff_bnd=(np.stack(self.huff_bnd).astype(np.int32)
+                      if self.huff_bnd else np.zeros((1, 16), np.int32)),
+            huff_syms=(np.stack(self.huff_syms).astype(np.int32)
+                       if self.huff_syms else np.zeros((1, 64), np.int32)),
             huff_dst_frame=huff_dst_frame, huff_dst_off=huff_dst_off,
             huff_len=huff_len,
             seq_streams=seq_streams, seq_pos=seq_pos, seq_n=seq_n,

@@ -17,6 +17,40 @@ import jax.numpy as jnp
 from zstd_tpu.ops.bitstream import build_windows_u32, read_bits_u32
 
 
+def huff_boundary_rows(table):
+    """Canonical boundary representation of a Huffman decode LUT.
+
+    The Pallas kernel decodes by weight-class search instead of scanning a
+    (1 << max_bits)-entry LUT: state -> weight w via 11 threshold compares,
+    nb = max_bits + 1 - w, symbol via a 256-rank list (the LUT groups
+    symbols by ascending weight, huff0_decoder.rs:284-377 semantics).
+
+    Returns (bnd (16,) i32: rows w=1..12 hold lo[w] | rank_base[w] << 16,
+             syms (64,) i32: rank list packed 4 bytes/row)."""
+    import numpy as np
+
+    mb = table.max_bits
+    sz = 1 << mb
+    nbs = table.num_bits[:sz].astype(np.int64)
+    symbols = table.symbol[:sz].astype(np.int64)
+    w = mb + 1 - nbs  # weight of each state's symbol
+    bnd = np.zeros(16, np.int64)
+    syms = []
+    idx = 0
+    for wt in range(1, 13):
+        bnd[wt] = idx | (len(syms) << 16)
+        span = 1 << (wt - 1)
+        while idx < sz and w[idx] == wt:
+            syms.append(int(symbols[idx]))
+            idx += span
+    if idx != sz:
+        raise ValueError("huffman LUT is not weight-grouped")
+    packed = np.zeros(64, np.int64)
+    for r, s in enumerate(syms):
+        packed[r >> 2] |= s << ((r & 3) * 8)
+    return bnd.astype(np.int32), packed.astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("max_symbols",))
 def decode_huffman_lanes(streams_u8: jnp.ndarray,     # (B, L) u8
                          init_pos: jnp.ndarray,        # (B,) i32 (-1 invalid)

@@ -23,6 +23,7 @@ validity uses a virtual position identical to the XLA path's.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,9 @@ from zstd_tpu.ops.pallas_sequence import (
 # the fill cursor and one 2-symbol group consumes <= 22 bits, so 32 groups
 # between refills can never underflow.
 _CACHE_R = 32
+
+# dev-only ablation switch (see pallas_sequence.py)
+_ABLATE = os.environ.get("ZSTD_TPU_HUFF_ABLATE", "")
 
 LIT_CHUNK = 512  # symbols per grid step (must be even: 2-symbol groups)
 
@@ -64,10 +68,12 @@ def _top_bits(hi, n_u):
     return (hi >> 1) >> (_U32(31) - n_u)
 
 
-def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
+def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
                  lit_out, ok_ref, st_ref, cache_ref, Nw: int, n_chunks: int):
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    rows64 = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
     mb = mb_ref[0:1, :]
     mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
@@ -96,11 +102,32 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
         # dropped by the caller's masked scatter. Per-step validity checks
         # are unnecessary: vpos is monotonic, so the final vpos == -mb test
         # subsumes every intermediate bound.
+        #
+        # Canonical boundary decode (no LUT scan): weight class w from 11
+        # threshold compares, symbol from the 64-row packed rank list —
+        # ~10x less scan traffic than the (1 << max_bits)-entry LUT.
         state, vpos, hi, lo, used = st
-        pair = _lookup(tab_ref, state >> 1)
-        entry = jnp.where(state & 1 == 1, pair >> 16, pair & 0xFFFF)
-        sym = entry & 0xFF
-        nb = (entry >> 8) * ((i < nsym).astype(jnp.int32))
+        if _ABLATE == "lookup":
+            sym = state & 0xFF
+            nb = (state & 7) * ((i < nsym).astype(jnp.int32))
+            nb_u = nb.astype(_U32)
+            bits = _top_bits(hi, nb_u).astype(jnp.int32)
+            state = ((state << nb) & tmask) | bits
+            hi, lo = _consume(hi, lo, nb_u)
+            return sym, (state, vpos - nb, hi, lo, used + nb)
+        TH = bnd_ref[:]                    # (16, B): lo | rank_base << 16
+        lo_all = TH & 0xFFFF
+        inw = (rows16 >= 2) & (rows16 <= 12)
+        w = 1 + jnp.sum((inw & (lo_all <= state)).astype(jnp.int32),
+                        axis=0, keepdims=True)
+        packed = jnp.sum(jnp.where(rows16 == w, TH, 0), axis=0,
+                         keepdims=True)
+        lo_w = packed & 0xFFFF
+        rank = (packed >> 16) + ((state - lo_w) >> (w - 1))
+        srow = jnp.sum(jnp.where(rows64 == (rank >> 2), syms_ref[:], 0),
+                       axis=0, keepdims=True)
+        sym = (srow >> ((rank & 3) * 8)) & 0xFF
+        nb = (mb + 1 - w) * ((i < nsym).astype(jnp.int32))
         nb_u = nb.astype(_U32)
         bits = _top_bits(hi, nb_u).astype(jnp.int32)
         state = ((state << nb) & tmask) | bits
@@ -115,7 +142,11 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
             st_ref[7:8, :] = _refill_cache(words_ref, cache_ref, fp, nblk)
 
         # refill first: `used` <= 22 bits are free at the container bottom
-        newbits, fp = _fetch_cached(cache_ref, st_ref[7:8, :], fp, used)
+        if _ABLATE == "fetch":
+            newbits = jnp.zeros_like(used).astype(_U32)
+            fp = fp - used
+        else:
+            newbits, fp = _fetch_cached(cache_ref, st_ref[7:8, :], fp, used)
         lo = lo | newbits
         used = jnp.zeros_like(used)
 
@@ -124,8 +155,9 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
         out0, st = sym_step(i, (state, vpos, hi, lo, used))
         out1, st = sym_step(i + 1, st)
         state, vpos, hi, lo, used = st
-        lit_out[pl.ds(k, 1), :] = out0
-        lit_out[pl.ds(k + 1, 1), :] = out1
+        if _ABLATE != "store":
+            lit_out[pl.ds(k, 1), :] = out0
+            lit_out[pl.ds(k + 1, 1), :] = out1
         return state, vpos, ok, hi, lo, fp, used
 
     carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],
@@ -148,16 +180,17 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, tab_ref, mb_ref,
 @functools.partial(jax.jit, static_argnames=("max_symbols", "interpret"))
 def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                                 init_pos,     # (B,) i32 (-1 invalid)
-                                tables,       # (B, TW) u16: sym | nb<<8
+                                bnd,          # (B, 16) i32 boundary rows
+                                syms,         # (B, 64) i32 packed rank list
                                 max_bits,     # (B,) i32
                                 n_symbols,    # (B,) i32
                                 max_symbols: int,
                                 interpret: bool = False):
-    """Pallas drop-in for decode_huffman_lanes (tables pre-gathered per lane).
+    """Pallas drop-in for decode_huffman_lanes (boundary tables
+    pre-gathered per lane — ops/huffman.py::huff_boundary_rows).
 
     Returns (literals (B, max_symbols) u8, ok (B,) bool)."""
     B, L = streams_u8.shape
-    TW = tables.shape[1]
     Nw = (L + 3) // 4 + 2
     Nw = (Nw + _CW - 1) // _CW * _CW  # whole cache blocks (refill slices)
     pad = Nw * 4 - L
@@ -165,9 +198,6 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
     by = by.reshape(B, Nw, 4)
     words = (by[:, :, 0] | (by[:, :, 1] << 8) | (by[:, :, 2] << 16)
              | (by[:, :, 3] << 24)).astype(jnp.int32)
-    # pack table entry pairs: row r = entry(2r) | entry(2r+1) << 16
-    t32 = tables.astype(jnp.int32)
-    packed = t32[:, 0::2] | (t32[:, 1::2] << 16)  # (B, TW//2)
 
     n_chunks = max(1, (max_symbols + LIT_CHUNK - 1) // LIT_CHUNK)
     S = n_chunks * LIT_CHUNK
@@ -181,7 +211,7 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
         functools.partial(_huff_kernel, Nw=Nw, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((TW // 2, B)), full((1, B))],
+                  full((16, B)), full((64, B)), full((1, B))],
         out_specs=(pl.BlockSpec((LIT_CHUNK, B), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM), full((1, B))),
         out_shape=(jax.ShapeDtypeStruct((S, B), jnp.int32),
@@ -189,7 +219,8 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
         scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
                         pltpu.VMEM((2 * _CW, B), jnp.int32)],
         interpret=interpret,
-    )(words.T, row(init_pos), row(n_symbols), packed.T, row(max_bits))
+    )(words.T, row(init_pos), row(n_symbols), bnd.astype(jnp.int32).T,
+      syms.astype(jnp.int32).T, row(max_bits))
 
     ok = (okv[0] == 1) & (init_pos >= 0) | (n_symbols <= 0)
     lits = lit_o[:max_symbols].T.astype(jnp.uint8)

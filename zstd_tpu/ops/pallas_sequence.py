@@ -21,6 +21,7 @@ ops/bitstream.py (phantom zeros below bit 0).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from zstd_tpu.common import constants as C
+
+# dev-only ablation switch for on-TPU cost attribution (never set in
+# production): "lookup" | "fetch" | "store" skips that stage
+_ABLATE = os.environ.get("ZSTD_TPU_SEQ_ABLATE", "")
 
 SEQ_CHUNK = 512  # sequences per grid step (output block rows)
 
@@ -236,9 +241,12 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         active = (i < nseq).astype(jnp.int32)
         not_last = i < nseq - 1
 
-        e_of = _lookup(oftab_ref, s_of)
-        e_ml = _lookup(mltab_ref, s_ml)
-        e_ll = _lookup(lltab_ref, s_ll)
+        if _ABLATE == "lookup":
+            e_of, e_ml, e_ll = s_of & 31, s_ml & 31, s_ll & 31
+        else:
+            e_of = _lookup(oftab_ref, s_of)
+            e_ml = _lookup(mltab_ref, s_ml)
+            e_ll = _lookup(lltab_ref, s_ll)
         of_code = e_of & 0xFF
         ml_code = e_ml & 0xFF
         ll_code = e_ll & 0xFF
@@ -264,7 +272,10 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         new_pos = pos - (nb_ofx + nb2 + nbs)
         start = jnp.maximum(new_pos, 0)
         base = start >> 5
-        v = _fetch_window_cached(cache_ref, t0, base)
+        if _ABLATE == "fetch":
+            v = [jnp.zeros_like(pos).astype(jnp.uint32) for _ in range(4)]
+        else:
+            v = _fetch_window_cached(cache_ref, t0, base)
         o3 = start - (base << 5)
         o2 = o3 + nbs
         o1 = o2 + nb2
@@ -294,9 +305,10 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         s_ml = jnp.where(active == 1, s_ml2, s_ml)
         s_of = jnp.where(active == 1, s_of2, s_of)
 
-        ll_out[pl.ds(k, 1), :] = ll
-        ml_out[pl.ds(k, 1), :] = ml
-        of_out[pl.ds(k, 1), :] = ofv
+        if _ABLATE != "store":
+            ll_out[pl.ds(k, 1), :] = ll
+            ml_out[pl.ds(k, 1), :] = ml
+            of_out[pl.ds(k, 1), :] = ofv
         return s_ll, s_of, s_ml, pos, ok
 
     carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],

@@ -76,23 +76,27 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
     return out
 
 
-# Pallas VMEM budget for bucket planning (hardware scoped limit is 16 MB;
-# leave headroom for temporaries). Per-lane overheads beyond the stream
-# bytes: per-lane tables + double-buffered output chunks.
-PALLAS_VMEM_BUDGET = 12 << 20
+# Pallas VMEM budget for bucket planning. The compiler's default scoped
+# limit is 16 MB but v5e VMEM is far larger — every kernel passes
+# CompilerParams(vmem_limit_bytes=100 MB), so plan against 64 MB and leave
+# headroom for XLA's scoped result placement. Per-lane overheads beyond
+# the stream bytes: per-lane tables + double-buffered output chunks.
+PALLAS_VMEM_BUDGET = 64 << 20
 HUFF_LANE_OVERHEAD = 4096 + 4096    # packed (1024,B) table + lit out chunks
 SEQ_LANE_OVERHEAD = 5120 + 12288    # 512+256+512 tables + 3 out chunks x2
 
 
-def _buckets_pallas(widths, counts, overhead: int, bmax: int = 2048):
+def _buckets_pallas(widths, counts, overhead: int, bmax: int = 512):
     """Bucket plan for the Pallas kernels.
 
-    Their per-step cost is nearly independent of the lane count B (fixed
-    per-instruction overhead dominates, measured ~1.2x from B=256 to 1024),
-    so the optimum is the opposite of the XLA plan: group by quantized
-    width only, pack count-sorted lanes into the widest B that fits the
-    VMEM budget, and run each bucket for its own max step count. Short
-    lanes ride along for free.
+    Per-step cost is nearly independent of the lane count B up to ~512
+    (fixed per-instruction overhead dominates), then degrades sharply:
+    the ~10 live per-lane carries spill the vector register file once
+    each is 8+ vregs (measured: B=1024 huffman ~4x slower per step). So:
+    group by quantized width (merging widths pads streams and inflates
+    the refill sweep for nothing — count distributions are too flat for
+    the merged bucket to run fewer steps), pack count-sorted lanes up to
+    min(vmem cap, bmax), run each bucket for its own max step count.
     """
     groups = {}
     for i, w in enumerate(widths):
@@ -318,9 +322,9 @@ class BatchDecoder:
         huff_inert = batch.huff_streams.shape[0] - 1  # the +1 inert row
         seq_inert = batch.seq_streams.shape[0] - 1
 
-        def plan(widths, counts, overhead):
+        def plan(widths, counts, overhead, bmax=512):
             if pallas:
-                return _buckets_pallas(widths, counts, overhead)
+                return _buckets_pallas(widths, counts, overhead, bmax)
             return _buckets(widths, counts, self.max_bucket_elems)
 
         live = [i for i in range(huff_inert) if batch.huff_nsym[i] > 0]
@@ -337,7 +341,7 @@ class BatchDecoder:
         dev["seq_plan"] = []
         for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
                                  [int(batch.seq_n[i]) for i in live],
-                                 SEQ_LANE_OVERHEAD):
+                                 SEQ_LANE_OVERHEAD, bmax=256):
             lanes = [live[r] for r in rows]
             tws = tuple(
                 _pow2(max(1 << int(logs[tid[i]]) for i in lanes), lo=32)

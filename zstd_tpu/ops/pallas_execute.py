@@ -38,6 +38,7 @@ masked read-modify-write stores for byte movement.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 # (a 128 KiB frame can hold up to ~43K three-byte matches) take the XLA
 # executor instead.
 MAX_SMEM_SEQS = 32768
+
+# dev-only ablation switch (see pallas_sequence.py): "fused" | "slow" |
+# "body" skips that part of the per-sequence work
+_ABLATE = os.environ.get("ZSTD_TPU_EXEC_ABLATE", "")
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 _L = 4    # lanes interleaved per grid step
-_FR = 4   # fused-path store window rows (span <= 3 rows + alignment row)
+_FR = 3   # fused-path store window rows (span <= 2 rows + alignment row)
 
 
 def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
@@ -200,12 +205,10 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
     mrot = _window(out_ref, lane, rdm + qm, (128 - mm) & 127, _FR, out_rows)
     mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
     # shift down to the rd-based store window; Mosaic has no dynamic
-    # sublane rotate, so select among the static shifts (dr <= _FR - 1)
+    # sublane rotate, so a single conditional static roll covers the
+    # dr <= 1 the `common` predicate guarantees ((op&127) + ll <= 255)
     dr = rdm - rd
-    shifted = mval
-    for s in range(1, _FR):
-        shifted = jnp.where(dr == s, pltpu.roll(mval, s, axis=0), shifted)
-    mval = shifted
+    mval = jnp.where(dr == 1, pltpu.roll(mval, 1, axis=0), mval)
 
     d = 128 * rd + d4
     val = jnp.where(d < opm, lval, mval)
@@ -303,21 +306,27 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
             ml = ml_ref[j, 0, i]
             off = of_ref[j, 0, i]
             active = i < counts[j]
-            fits = (op & 127) + ll + ml <= span_max
+            fits = ((op & 127) + ll + ml <= span_max) \
+                & ((op & 127) + ll <= 255)  # match-window shift dr <= 1
             disjoint = (ml == 0) | (off >= ll + ml)
             common = active & fits & disjoint
             recs.append((j, op, lp, ll, ml, off, active, common))
 
+        if _ABLATE == "body":
+            return carry
+
         # branchless fused path for all four lanes first (their chains are
         # independent — interleaved issue hides each other's load latency)
-        for j, op, lp, ll, ml, off, active, common in recs:
-            _fused_short(lit_ref, out_ref, j, lp, op, ll, ml, off, common,
-                         lit_rows, out_rows, consts4)
+        if _ABLATE != "fused":
+            for j, op, lp, ll, ml, off, active, common in recs:
+                _fused_short(lit_ref, out_ref, j, lp, op, ll, ml, off,
+                             common, lit_rows, out_rows, consts4)
 
-        for j, op, lp, ll, ml, off, active, common in recs:
-            @pl.when(active & ~common)
-            def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
-                slow_seq(j, op, lp, ll, ml, off)
+        if _ABLATE != "slow":
+            for j, op, lp, ll, ml, off, active, common in recs:
+                @pl.when(active & ~common)
+                def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
+                    slow_seq(j, op, lp, ll, ml, off)
 
         return carry
 
@@ -397,6 +406,8 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
         out_specs=pl.BlockSpec((_L, out_rows, 128), lambda l, c: (l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
       nseq[:, None, None], lit_i32)

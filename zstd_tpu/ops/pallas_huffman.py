@@ -218,6 +218,8 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                    jax.ShapeDtypeStruct((1, B), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
                         pltpu.VMEM((2 * _CW, B), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(words.T, row(init_pos), row(n_symbols), bnd.astype(jnp.int32).T,
       syms.astype(jnp.int32).T, row(max_bits))

@@ -93,10 +93,13 @@ def _lookup(tab_ref, state):
 
 
 def _lut(lut_col, code):
-    """lut_col (rows, 1) i32, code (1, B) -> (1, B) i32 (tiny one-hot)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (lut_col.shape[0], 1), 0)
-    oh = rows == code  # (rows, B) via broadcast
-    return jnp.sum(jnp.where(oh, lut_col, 0), axis=0, keepdims=True)
+    """lut_col (rows, 1) i32, code (1, *lanes) -> (1, *lanes) i32."""
+    nd = code.ndim
+    shape = (lut_col.shape[0],) + (1,) * (nd - 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    oh = rows == code  # (rows, *lanes) via broadcast
+    return jnp.sum(jnp.where(oh, lut_col.reshape(shape), 0), axis=0,
+                   keepdims=True)
 
 
 def _fetch_window(w_ref, base):
@@ -137,11 +140,11 @@ def _refill_cache(w_ref, cache_ref, pos, nblk: int):
     # an order of magnitude slower than static slices on this toolchain
     a0, a1 = zero, zero
     for b in range(nblk):
-        blk = w_ref[b * _CW:(b + 1) * _CW, :]
+        blk = w_ref[b * _CW:(b + 1) * _CW]
         a0 = jnp.where(b0 == b, blk, a0)
         a1 = jnp.where(b0 + 1 == b, blk, a1)
-    cache_ref[0:_CW, :] = a0
-    cache_ref[_CW:2 * _CW, :] = a1
+    cache_ref[0:_CW] = a0
+    cache_ref[_CW:2 * _CW] = a1
     return b0 * _CW
 
 
@@ -205,7 +208,8 @@ def _extract(v, o, n):
 def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
                 mltab_ref, lllog_ref, oflog_ref, mllog_ref, luts_ref,
                 ll_out, ml_out, of_out, okpos_ref,
-                st_ref, cache_ref, Nw: int, B: int, n_chunks: int):
+                st_ref, cache_ref, Nw: int, B: int, n_chunks: int,
+                G: int = 0):
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
     ll_pack = luts_ref[:, 0:1]   # base | xtra << 24
@@ -215,28 +219,28 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
     def _():
         # init order LL, OF, ML (RFC 8878); state rows: 0..2 = ll/of/ml
         # states, 3 = pos, 4 = ok mask
-        pos0 = init_ref[0:1, :]
-        lll = lllog_ref[0:1, :]
-        ofl = oflog_ref[0:1, :]
-        mll = mllog_ref[0:1, :]
+        pos0 = init_ref[0:1]
+        lll = lllog_ref[0:1]
+        ofl = oflog_ref[0:1]
+        mll = mllog_ref[0:1]
         v, pos3 = _fetch(words_ref, pos0, lll + ofl + mll)
         v = v.astype(jnp.int32)
-        st_ref[0:1, :] = v >> (ofl + mll)
-        st_ref[1:2, :] = (v >> mll) & ((jnp.int32(1) << ofl) - 1)
-        st_ref[2:3, :] = v & ((jnp.int32(1) << mll) - 1)
-        st_ref[3:4, :] = pos3
-        st_ref[4:5, :] = ((pos0 >= 0) & (pos3 >= 0)).astype(jnp.int32)
+        st_ref[0:1] = v >> (ofl + mll)
+        st_ref[1:2] = (v >> mll) & ((jnp.int32(1) << ofl) - 1)
+        st_ref[2:3] = v & ((jnp.int32(1) << mll) - 1)
+        st_ref[3:4] = pos3
+        st_ref[4:5] = ((pos0 >= 0) & (pos3 >= 0)).astype(jnp.int32)
 
-    nseq = nseq_ref[0:1, :]
+    nseq = nseq_ref[0:1]
 
     def step(k, carry):
         s_ll, s_of, s_ml, pos, ok = carry
 
         @pl.when(k % _CACHE_R == 0)
         def _():
-            st_ref[5:6, :] = _refill_cache(words_ref, cache_ref, pos, nblk)
+            st_ref[5:6] = _refill_cache(words_ref, cache_ref, pos, nblk)
 
-        t0 = st_ref[5:6, :]
+        t0 = st_ref[5:6]
         i = pid * SEQ_CHUNK + k
         active = (i < nseq).astype(jnp.int32)
         not_last = i < nseq - 1
@@ -306,26 +310,36 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         s_of = jnp.where(active == 1, s_of2, s_of)
 
         if _ABLATE != "store":
-            ll_out[pl.ds(k, 1), :] = ll
-            ml_out[pl.ds(k, 1), :] = ml
-            of_out[pl.ds(k, 1), :] = ofv
+            if G:
+                # outputs are (S*G, 128) 2D (3D pallas results trip XLA's
+                # scoped-vmem placement); (1,G,128)->(G,128) is free
+                ll_out[pl.ds(k * G, G), :] = ll.reshape(G, 128)
+                ml_out[pl.ds(k * G, G), :] = ml.reshape(G, 128)
+                of_out[pl.ds(k * G, G), :] = ofv.reshape(G, 128)
+            else:
+                ll_out[pl.ds(k, 1)] = ll
+                ml_out[pl.ds(k, 1)] = ml
+                of_out[pl.ds(k, 1)] = ofv
         return s_ll, s_of, s_ml, pos, ok
 
-    carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],
-             st_ref[3:4, :], st_ref[4:5, :])
+    carry = (st_ref[0:1], st_ref[1:2], st_ref[2:3],
+             st_ref[3:4], st_ref[4:5])
     s_ll, s_of, s_ml, pos, ok = jax.lax.fori_loop(0, SEQ_CHUNK, step, carry)
-    st_ref[0:1, :] = s_ll
-    st_ref[1:2, :] = s_of
-    st_ref[2:3, :] = s_ml
-    st_ref[3:4, :] = pos
-    st_ref[4:5, :] = ok
+    st_ref[0:1] = s_ll
+    st_ref[1:2] = s_of
+    st_ref[2:3] = s_ml
+    st_ref[3:4] = pos
+    st_ref[4:5] = ok
 
     @pl.when(pid == n_chunks - 1)
     def _():
         # strict end: bits exactly exhausted (bits_remaining == 0)
         final_ok = (ok == 1) & (pos == 0)
         final_ok = final_ok | (nseq <= 0)
-        okpos_ref[0:1, :] = final_ok.astype(jnp.int32)
+        if G:
+            okpos_ref[0:G, :] = final_ok.astype(jnp.int32).reshape(G, 128)
+        else:
+            okpos_ref[0:1] = final_ok.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_seqs", "interpret"))
@@ -340,7 +354,25 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
 
     Returns (ll, ml, ofv) i32 (B, max_seqs) + ok (B,) bool.
     """
-    B, L = streams_u8.shape
+    B0, L = streams_u8.shape
+    # lanes >= 256 are packed (G, 128) across sublanes x minor so the
+    # per-step tiny ops use whole vregs instead of 1/8 of each sublane
+    # tile; small batches keep the flat minor layout (a (X, 1, 128) shape
+    # triggers XLA scoped-vmem result placement and wins nothing).
+    packed = B0 > 128
+    if packed and B0 % 128:
+        pad_b = 128 - B0 % 128
+        streams_u8 = jnp.pad(streams_u8, ((0, pad_b), (0, 0)))
+        init_pos = jnp.pad(init_pos, (0, pad_b), constant_values=-1)
+        nseq = jnp.pad(nseq, (0, pad_b))
+        ll_tab = jnp.pad(ll_tab, ((0, pad_b), (0, 0)))
+        of_tab = jnp.pad(of_tab, ((0, pad_b), (0, 0)))
+        ml_tab = jnp.pad(ml_tab, ((0, pad_b), (0, 0)))
+        ll_log = jnp.pad(ll_log, (0, pad_b))
+        of_log = jnp.pad(of_log, (0, pad_b))
+        ml_log = jnp.pad(ml_log, (0, pad_b))
+    B = streams_u8.shape[0]
+    ldims = (B // 128, 128) if packed else (B,)
     Nw = (L + 3) // 4 + 2  # >=2 zero pad words (fetch reads word w+1)
     Nw = (Nw + _CW - 1) // _CW * _CW  # whole cache blocks (refill slices)
     pad = Nw * 4 - L
@@ -348,39 +380,53 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
     by = by.reshape(B, Nw, 4)
     words = (by[:, :, 0] | (by[:, :, 1] << 8) | (by[:, :, 2] << 16)
              | (by[:, :, 3] << 24)).astype(jnp.int32)
-    words_t = words.T  # (Nw, B)
+    words_t = words.T.reshape((Nw,) + ldims)
 
     n_chunks = max(1, (max_seqs + SEQ_CHUNK - 1) // SEQ_CHUNK)
     S = n_chunks * SEQ_CHUNK
 
-    row = lambda x: x.astype(jnp.int32)[None, :]
-    out_spec = pl.BlockSpec((SEQ_CHUNK, B), lambda i: (i, 0),
+    G = B // 128 if packed else 0
+    row = lambda x: x.astype(jnp.int32).reshape((1,) + ldims)
+    tab3 = lambda t: t.astype(jnp.int32).T.reshape((t.shape[1],) + ldims)
+    oblk = (SEQ_CHUNK * G, 128) if packed else (SEQ_CHUNK, B)
+    out_spec = pl.BlockSpec(oblk, lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     # constant index map -> single-buffer (the default pipeliner would
     # double-buffer the full-size words array and blow the 16 MB VMEM budget
     # for wide streams)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       pipeline_mode=pl.Buffered(1),
                                       memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        functools.partial(_seq_kernel, Nw=Nw, B=B, n_chunks=n_chunks),
+        functools.partial(_seq_kernel, Nw=Nw, B=B, n_chunks=n_chunks,
+                          G=G),
         grid=(n_chunks,),
-        in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((ll_tab.shape[1], B)), full((of_tab.shape[1], B)),
-                  full((ml_tab.shape[1], B)),
-                  full((1, B)), full((1, B)), full((1, B)),
+        in_specs=[full((Nw,) + ldims), full((1,) + ldims),
+                  full((1,) + ldims),
+                  full((ll_tab.shape[1],) + ldims),
+                  full((of_tab.shape[1],) + ldims),
+                  full((ml_tab.shape[1],) + ldims),
+                  full((1,) + ldims), full((1,) + ldims),
+                  full((1,) + ldims),
                   pl.BlockSpec((64, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(out_spec, out_spec, out_spec, full((1, B))),
+        out_specs=(out_spec, out_spec, out_spec,
+                   full((max(G, 1), 128) if packed else (1, B))),
         out_shape=(
-            jax.ShapeDtypeStruct((S, B), jnp.int32),
-            jax.ShapeDtypeStruct((S, B), jnp.int32),
-            jax.ShapeDtypeStruct((S, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((S * max(G, 1),) + ((128,) if packed
+                                                     else (B,)), jnp.int32),
+            jax.ShapeDtypeStruct((S * max(G, 1),) + ((128,) if packed
+                                                     else (B,)), jnp.int32),
+            jax.ShapeDtypeStruct((S * max(G, 1),) + ((128,) if packed
+                                                     else (B,)), jnp.int32),
+            jax.ShapeDtypeStruct((max(G, 1), 128) if packed else (1, B),
+                                 jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
-                        pltpu.VMEM((2 * _CW, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8,) + ldims, jnp.int32),
+                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )
     luts = jnp.asarray(np.concatenate(
@@ -388,9 +434,12 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
          _lut_rows(_ML_BASE) | (_lut_rows(_ML_XTRA) << 24)], axis=1))
     ll_o, ml_o, of_o, okv = call(
         words_t, row(init_pos), row(nseq),
-        ll_tab.astype(jnp.int32).T, of_tab.astype(jnp.int32).T,
-        ml_tab.astype(jnp.int32).T, row(ll_log), row(of_log), row(ml_log),
-        luts)
+        tab3(ll_tab), tab3(of_tab), tab3(ml_tab),
+        row(ll_log), row(of_log), row(ml_log), luts)
 
-    ok = (okv[0] == 1) & (init_pos >= 0) | (nseq <= 0)
-    return (ll_o[:max_seqs].T, ml_o[:max_seqs].T, of_o[:max_seqs].T, ok)
+    def unpack(x):
+        return x.reshape(S, B)[:max_seqs, :B0].T
+
+    ok = ((okv.reshape(B)[:B0] == 1) & (init_pos[:B0] >= 0)
+          | (nseq[:B0] <= 0))
+    return unpack(ll_o), unpack(ml_o), unpack(of_o), ok

@@ -93,3 +93,34 @@ def test_decode_works_without_native(tmp_path):
     out = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
                          env=env, capture_output=True, text=True, timeout=120)
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_native_encoder_byte_identical(monkeypatch):
+    """The native encode hot path (match finder, repcode triples, FSE
+    sequence stream, Huffman stream packer) must produce byte-identical
+    frames to the pure-Python encoder."""
+    import random
+
+    import zstandard
+
+    from zstd_tpu.encoding.frame_enc import compress_to_vec
+    from zstd_tpu.runtime import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    rng = random.Random(5)
+    words = ["the", "of", "compression", "entropy", "frame", "offset"]
+    payloads = [
+        b"",
+        b"a" * 50000,
+        bytes(rng.getrandbits(8) for _ in range(30000)),
+        (" ".join(rng.choice(words) for _ in range(50000))).encode(),
+    ]
+    for p in payloads:
+        monkeypatch.delenv("ZT_NO_NATIVE", raising=False)
+        zn = compress_to_vec(p)
+        monkeypatch.setenv("ZT_NO_NATIVE", "1")
+        zp = compress_to_vec(p)
+        assert zn == zp, f"payload len {len(p)}"
+        assert zstandard.ZstdDecompressor().decompress(
+            zn, max_output_size=len(p) + 64) == p

@@ -199,11 +199,12 @@ def _mode_and_table(codes, max_log: int, writer: BitWriter, kind: str = None):
     blocks/compressed.rs:119-135); picking the cheapest of the three modes
     is a strict size improvement.
     """
-    first = codes[0]
-    if all(c == first for c in codes):
+    codes = np.asarray(codes, dtype=np.int64)
+    first = int(codes[0])
+    if np.all(codes == first):
         writer.append_bytes(bytes([first]))
         return C.MODE_RLE, first
-    counts = np.bincount(np.asarray(codes, dtype=np.int64))
+    counts = np.bincount(codes)
     table_log = fse_enc.optimal_table_log(max_log, len(codes), int(np.count_nonzero(counts)))
     probs = fse_enc.normalize_counts(list(counts), table_log, len(codes))
     while probs and probs[-1] == 0:
@@ -308,6 +309,46 @@ def _add_extra_bits(w: BitWriter, triple, llc: int, mlc: int, ofc: int) -> None:
     w.write_bits(of - (1 << ofc), ofc)
 
 
+def _seq_codes(llv, mlv, ofv):
+    """Vectorized spec code mapping for (ll, ml, of_value) arrays."""
+    llc = np.searchsorted(np.asarray(C.LL_CODE_BASELINE), llv, "right") - 1
+    mlc = np.searchsorted(np.asarray(C.ML_CODE_BASELINE), mlv, "right") - 1
+    ofc = np.frexp(ofv.astype(np.float64))[1] - 1  # floor(log2), exact < 2^53
+    return llc.astype(np.int64), mlc.astype(np.int64), ofc.astype(np.int64)
+
+
+def encode_sequences_section_arrays(lit_lens, offsets, match_lens, out,
+                                    offset_hist=None, rt=None) -> bool:
+    """Native-array twin of encode_sequences_section; returns False when
+    the native runtime cannot serve it (caller uses the Python path)."""
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = rt or _native_runtime()
+    if rt is None:
+        return False
+    llv, mlv, ofv = rt.make_triples(lit_lens, offsets, match_lens,
+                                    offset_hist)
+    n = len(llv)
+    out.extend(_seqnum_varint(n))
+    if n == 0:
+        return True
+    llc, mlc, ofc = _seq_codes(llv, mlv, ofv)
+    tw = BitWriter()
+    ll_mode, ll_t = _mode_and_table(llc, C.LL_MAX_LOG, tw, "ll")
+    of_mode, of_t = _mode_and_table(ofc, C.OF_MAX_LOG, tw, "of")
+    ml_mode, ml_t = _mode_and_table(mlc, C.ML_MAX_LOG, tw, "ml")
+    out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    out.extend(tw.dump())
+    kinds = {"ll": None if ll_mode == C.MODE_RLE else ll_t,
+             "of": None if of_mode == C.MODE_RLE else of_t,
+             "ml": None if ml_mode == C.MODE_RLE else ml_t}
+    blob = rt.encode_seq_stream(llv, mlv, ofv, kinds)
+    if blob is None:
+        raise EncodeError("native sequence stream encode failed")
+    out.extend(blob)
+    return True
+
+
 def compress_block(block: bytes, matcher=None,
                    offset_hist: list[int] | None = None) -> bytes | None:
     """Produce compressed-block content, or None when it does not pay
@@ -316,6 +357,33 @@ def compress_block(block: bytes, matcher=None,
     `offset_hist` is the frame's repeat-offset history; the caller commits
     the mutated list only when the compressed form is actually emitted.
     """
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if matcher is None and rt is not None:
+        arrs = rt.find_sequences_arrays(block)
+        if arrs is not None:
+            lit_lens, offsets, match_lens = arrs
+            # literals = the non-matched spans, in order (vectorized
+            # segment gather: position of literal byte j of record i is
+            # rec_start[i] + j, packed densely at out_off[i] + j)
+            ll64 = lit_lens.astype(np.int64)
+            spans = ll64 + match_lens
+            rec_start = np.cumsum(spans) - spans
+            out_off = np.cumsum(ll64) - ll64
+            total = int(ll64.sum())
+            idx = (np.repeat(rec_start - out_off, ll64)
+                   + np.arange(total, dtype=np.int64))
+            lits = np.frombuffer(block, np.uint8)[idx].tobytes()
+            out = bytearray()
+            encode_literals_section(lits, out)
+            if encode_sequences_section_arrays(lit_lens, offsets,
+                                               match_lens, out,
+                                               offset_hist, rt):
+                if len(out) >= len(block):
+                    return None
+                return bytes(out)
+
     seqs = matcher.find(block) if matcher is not None else find_sequences(block)
     lits = b"".join(s.literals for s in seqs)
     out = bytearray()

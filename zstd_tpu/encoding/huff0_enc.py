@@ -217,6 +217,14 @@ def encode_4stream(table: HuffmanEncodeTable, data) -> bytes:
 
 
 def _encode_stream(table: HuffmanEncodeTable, data, w: BitWriter) -> None:
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if rt is not None and w.index() % 8 == 0:
+        blob = rt.huff_encode_stream(bytes(data), table.codes, table.lengths)
+        if blob is not None:
+            w.append_bytes(blob)
+            return
     codes = table.codes
     lens = table.lengths
     for b in reversed(data):

@@ -84,6 +84,27 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.zt_find_sequences.restype = ctypes.c_int64
+    lib.zt_find_sequences.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.zt_make_triples.restype = ctypes.c_int64
+    lib.zt_make_triples.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_encode_seq_stream.restype = ctypes.c_int64
+    lib.zt_encode_seq_stream.argtypes = (
+        [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+        + [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p] * 2
+        + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
+        + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
+        + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + [ctypes.c_int32]
+        + [ctypes.c_void_p, ctypes.c_int64])
+    lib.zt_huff_encode_stream.restype = ctypes.c_int64
+    lib.zt_huff_encode_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -276,6 +297,122 @@ def execute_append(buf: bytearray, base: int, ll, ml, offset,
     finally:
         del view  # release the buffer export so the bytearray can resize
     return int(n)
+
+
+_FIND_TABLE = None
+
+
+def find_sequences_arrays(block: bytes):
+    """Native greedy match finder. Returns (lit_len, offset, match_len)
+    int32 arrays (trailing-literals record has offset == match_len == 0),
+    or None when the library is unavailable."""
+    global _FIND_TABLE
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(block)
+    cap = n // 3 + 4  # a match consumes >= 5 bytes; literals-only is 1 rec
+    ll = np.empty(cap, np.int32)
+    off = np.empty(cap, np.int32)
+    ml = np.empty(cap, np.int32)
+    if _FIND_TABLE is None:
+        _FIND_TABLE = np.empty(1 << 16, np.int32)
+    m = lib.zt_find_sequences(bytes(block), n, ll.ctypes.data,
+                              off.ctypes.data, ml.ctypes.data, cap,
+                              _FIND_TABLE.ctypes.data)
+    if m < 0:
+        return None
+    return ll[:m], off[:m], ml[:m]
+
+
+def make_triples(lit_len, offset, match_len, hist):
+    """Native repcode-exploiting triple builder (hist mutated in place when
+    given). Returns (ll, ml, of_value) int32 arrays or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ll = np.ascontiguousarray(lit_len, np.int32)
+    off = np.ascontiguousarray(offset, np.int32)
+    ml = np.ascontiguousarray(match_len, np.int32)
+    n = len(ll)
+    o_ll = np.empty(n, np.int32)
+    o_ml = np.empty(n, np.int32)
+    o_of = np.empty(n, np.int32)
+    h = np.asarray(hist if hist is not None else [0, 0, 0], np.int64)
+    m = lib.zt_make_triples(ll.ctypes.data, off.ctypes.data, ml.ctypes.data,
+                            n, h.ctypes.data, 0 if hist is None else 1,
+                            o_ll.ctypes.data, o_ml.ctypes.data,
+                            o_of.ctypes.data)
+    if hist is not None:
+        hist[:] = [int(h[0]), int(h[1]), int(h[2])]
+    return o_ll[:m], o_ml[:m], o_of[:m]
+
+
+def encode_seq_stream(ll, ml, ofv, kinds) -> bytes | None:
+    """Native interleaved FSE sequence bitstream. `kinds` is a dict
+    {"ll"|"of"|"ml": None (RLE mode) or FSEEncodeTable}. Returns the
+    stream bytes or None when unavailable."""
+    import numpy as np
+
+    from zstd_tpu.common import constants as Cst
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ll = np.ascontiguousarray(ll, np.int32)
+    ml = np.ascontiguousarray(ml, np.int32)
+    ofv = np.ascontiguousarray(ofv, np.int32)
+    n = len(ll)
+    ll_cb, ll_eb, ml_cb, ml_eb = _seq_code_tables()
+    zero = np.zeros(1, np.int32)
+
+    def args_for(t):
+        if t is None:
+            return [0, zero.ctypes.data, zero.ctypes.data,
+                    zero.ctypes.data, 0]
+        dnb = np.ascontiguousarray(t.delta_nb_bits, np.int32)
+        dfs = np.ascontiguousarray(t.delta_find_state, np.int32)
+        ns = np.ascontiguousarray(t.next_state, np.int32)
+        # keep alive until the call
+        keep.extend((dnb, dfs, ns))
+        return [1, dnb.ctypes.data, dfs.ctypes.data, ns.ctypes.data,
+                t.table_log]
+
+    keep = []
+    cap = n * 16 + 64  # worst case ~ (9*3 + 16+16+31) bits < 16 bytes/seq
+    out = np.empty(cap, np.uint8)
+    r = lib.zt_encode_seq_stream(
+        ll.ctypes.data, ml.ctypes.data, ofv.ctypes.data, n,
+        ll_cb.ctypes.data, len(ll_cb), ll_eb.ctypes.data,
+        ml_cb.ctypes.data, len(ml_cb), ml_eb.ctypes.data,
+        *args_for(kinds["ll"]), *args_for(kinds["of"]),
+        *args_for(kinds["ml"]),
+        out.ctypes.data, cap)
+    if r < 0:
+        return None
+    return out[:r].tobytes()
+
+
+def huff_encode_stream(data: bytes, codes, lens) -> bytes | None:
+    """Native Huffman stream packer (reverse order + sentinel + pad)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(codes, np.uint32)
+    ln = np.ascontiguousarray(lens, np.uint8)
+    cap = len(data) * 2 + 16
+    out = np.empty(max(cap, 16), np.uint8)
+    r = lib.zt_huff_encode_stream(bytes(data), len(data), c.ctypes.data,
+                                  ln.ctypes.data, out.ctypes.data, cap)
+    if r < 0:
+        return None
+    return out[:r].tobytes()
 
 
 def fse_sim_bits(codes, delta_nb_bits, delta_find_state, next_state,

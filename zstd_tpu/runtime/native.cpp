@@ -569,4 +569,229 @@ int64_t zt_execute_append(const int32_t* ll, const int32_t* ml,
     return op;
 }
 
+// ---------------------------------------------------------------------------
+// Encode-side hot loops (host path)
+// ---------------------------------------------------------------------------
+
+// Greedy single-probe match finder — exact port of
+// encoding/match_gen.py::find_sequences (direct-mapped 5-byte-hash table,
+// last-writer-wins, forward+backward extension, one in-match re-register).
+// Emits (lit_len, offset, match_len) records; a trailing-literals record
+// has offset == match_len == 0. Returns record count, or -1 if out_cap is
+// too small.
+
+int64_t zt_find_sequences(const uint8_t* data, int64_t n,
+                          int32_t* out_ll, int32_t* out_off, int32_t* out_ml,
+                          int64_t out_cap, int32_t* table /* 1<<16, -1 init */) {
+    const int64_t MIN_MATCH = 5, HASH_LOG = 16;
+    const uint64_t POLY = 0x00CF3BCCDCABULL;
+    int64_t count = 0;
+    if (n < MIN_MATCH + 3) {
+        if (n > 0) {
+            if (out_cap < 1) return -1;
+            out_ll[0] = (int32_t)n; out_off[0] = 0; out_ml[0] = 0;
+            count = 1;
+        }
+        return count;
+    }
+    for (int64_t i = 0; i < (1 << HASH_LOG); i++) table[i] = -1;
+    int64_t anchor = 0, pos = 0;
+    int64_t limit = n - MIN_MATCH;
+    auto hash5 = [&](int64_t p) -> uint32_t {
+        uint64_t v = (uint64_t)data[p] | ((uint64_t)data[p + 1] << 8)
+                   | ((uint64_t)data[p + 2] << 16)
+                   | ((uint64_t)data[p + 3] << 24)
+                   | ((uint64_t)data[p + 4] << 32);
+        return (uint32_t)((v * POLY) >> (64 - HASH_LOG));
+    };
+    while (pos <= limit) {
+        uint32_t h = hash5(pos);
+        int64_t cand = table[h];
+        table[h] = (int32_t)pos;
+        if (cand >= 0 && memcmp(data + cand, data + pos, MIN_MATCH) == 0) {
+            int64_t ml = MIN_MATCH;
+            int64_t max_ml = n - pos;
+            while (ml < max_ml && data[cand + ml] == data[pos + ml]) ml++;
+            while (pos > anchor && cand > 0 && data[cand - 1] == data[pos - 1]) {
+                pos--; cand--; ml++;
+            }
+            if (count >= out_cap) return -1;
+            out_ll[count] = (int32_t)(pos - anchor);
+            out_off[count] = (int32_t)(pos - cand);
+            out_ml[count] = (int32_t)ml;
+            count++;
+            pos += ml;
+            anchor = pos;
+            if (pos - 2 > 0 && pos - 2 <= limit)
+                table[hash5(pos - 2)] = (int32_t)(pos - 2);
+        } else {
+            pos++;
+        }
+    }
+    if (anchor < n) {
+        if (count >= out_cap) return -1;
+        out_ll[count] = (int32_t)(n - anchor);
+        out_off[count] = 0; out_ml[count] = 0;
+        count++;
+    }
+    return count;
+}
+
+// Repeat-offset exploitation — exact port of
+// encoding/block_enc.py::choose_offset_value applied over make_triples.
+// Records with ml <= 0 are dropped. hist[3] mutated in place. use_hist=0
+// reproduces the no-history path (of_value = offset + 3).
+
+int64_t zt_make_triples(const int32_t* lit_len, const int32_t* offset,
+                        const int32_t* match_len, int64_t n,
+                        int64_t* hist, int32_t use_hist,
+                        int32_t* out_ll, int32_t* out_ml, int32_t* out_ofv) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t ml = match_len[i];
+        if (ml <= 0) continue;
+        int64_t ll = lit_len[i];
+        int64_t off = offset[i];
+        int64_t ofv = off + 3;
+        if (use_hist) {
+            int64_t c1, c2, c3;
+            if (ll != 0) { c1 = hist[0]; c2 = hist[1]; c3 = hist[2]; }
+            else { c1 = hist[1]; c2 = hist[2]; c3 = hist[0] - 1; }
+            if (c1 == off && c1 > 0) ofv = 1;
+            else if (c2 == off && c2 > 0) ofv = 2;
+            else if (c3 == off && c3 > 0) ofv = 3;
+            if (ofv > 3) {
+                hist[2] = hist[1]; hist[1] = hist[0]; hist[0] = off;
+            } else {
+                int64_t idx = (ll == 0) ? ofv + 1 : ofv;
+                if (idx == 2) { hist[1] = hist[0]; hist[0] = off; }
+                else if (idx == 3 || idx == 4) {
+                    hist[2] = hist[1]; hist[1] = hist[0]; hist[0] = off;
+                }
+            }
+        }
+        out_ll[m] = (int32_t)ll;
+        out_ml[m] = (int32_t)ml;
+        out_ofv[m] = (int32_t)ofv;
+        m++;
+    }
+    return m;
+}
+
+struct ZtBitW {
+    uint8_t* out;
+    int64_t cap, len;
+    uint64_t acc;
+    int nbits;
+};
+
+static inline int bw_put(ZtBitW* w, uint64_t v, int n) {
+    if (n == 0) return 0;
+    w->acc |= (v & ((1ULL << n) - 1)) << w->nbits;
+    w->nbits += n;
+    while (w->nbits >= 8) {
+        if (w->len >= w->cap) return -1;
+        w->out[w->len++] = (uint8_t)(w->acc & 0xFF);
+        w->acc >>= 8;
+        w->nbits -= 8;
+    }
+    return 0;
+}
+
+// Interleaved 3-state FSE sequence-stream encode — exact port of
+// encoding/block_enc.py::encode_sequences_section's bitstream half
+// (reverse order, states updated OF/ML/LL, extras LL/ML/OF per record,
+// flush ML/OF/LL, sentinel bit, byte padding). Code mapping from the spec
+// tables passed in. A kind with mode RLE has en_*=0 and contributes no
+// state bits. Returns bytes written or -1 (capacity).
+
+int64_t zt_encode_seq_stream(
+    const int32_t* ll, const int32_t* mlv, const int32_t* ofv, int64_t n,
+    const int32_t* ll_cb_base, int32_t ll_ncodes,
+    const int32_t* ll_cb_bits,
+    const int32_t* ml_cb_base, int32_t ml_ncodes,
+    const int32_t* ml_cb_bits,
+    int32_t en_ll, const int32_t* ll_dnb, const int32_t* ll_dfs,
+    const int32_t* ll_ns, int32_t ll_log,
+    int32_t en_of, const int32_t* of_dnb, const int32_t* of_dfs,
+    const int32_t* of_ns, int32_t of_log,
+    int32_t en_ml, const int32_t* ml_dnb, const int32_t* ml_dfs,
+    const int32_t* ml_ns, int32_t ml_log,
+    uint8_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    ZtBitW w = {out, cap, 0, 0, 0};
+    auto code_of = [](int64_t v) -> int { return 63 - __builtin_clzll((uint64_t)v); };
+    auto code_in = [](const int32_t* base, int32_t ncodes, int64_t v) -> int {
+        int lo = 0, hi = ncodes;  // upper_bound - 1
+        while (lo < hi) { int mid = (lo + hi) >> 1;
+            if (base[mid] <= v) lo = mid + 1; else hi = mid; }
+        return lo - 1;
+    };
+    int32_t s_ll = 0, s_of = 0, s_ml = 0;
+    auto init_state = [](int32_t* st, const int32_t* dnb, const int32_t* dfs,
+                         const int32_t* ns, int c) {
+        int nb = (dnb[c] + (1 << 15)) >> 16;
+        int64_t value = ((int64_t)nb << 16) - dnb[c];
+        *st = ns[(value >> nb) + dfs[c]];
+    };
+    auto enc = [&w](int32_t* st, const int32_t* dnb, const int32_t* dfs,
+                    const int32_t* ns, int c) -> int {
+        int nb = (*st + dnb[c]) >> 16;
+        if (bw_put(&w, (uint64_t)(uint32_t)*st, nb) < 0) return -1;
+        *st = ns[(*st >> nb) + dfs[c]];
+        return 0;
+    };
+    int64_t last = n - 1;
+    int llc = code_in(ll_cb_base, ll_ncodes, ll[last]);
+    int mlc = code_in(ml_cb_base, ml_ncodes, mlv[last]);
+    int ofc = code_of(ofv[last]);
+    if (en_ml) init_state(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc);
+    if (en_of) init_state(&s_of, of_dnb, of_dfs, of_ns, ofc);
+    if (en_ll) init_state(&s_ll, ll_dnb, ll_dfs, ll_ns, llc);
+    if (bw_put(&w, (uint64_t)(ll[last] - ll_cb_base[llc]), ll_cb_bits[llc]) < 0 ||
+        bw_put(&w, (uint64_t)(mlv[last] - ml_cb_base[mlc]), ml_cb_bits[mlc]) < 0 ||
+        bw_put(&w, (uint64_t)(ofv[last] - (1LL << ofc)), ofc) < 0)
+        return -1;
+    for (int64_t i = n - 2; i >= 0; i--) {
+        llc = code_in(ll_cb_base, ll_ncodes, ll[i]);
+        mlc = code_in(ml_cb_base, ml_ncodes, mlv[i]);
+        ofc = code_of(ofv[i]);
+        if (en_of && enc(&s_of, of_dnb, of_dfs, of_ns, ofc) < 0) return -1;
+        if (en_ml && enc(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc) < 0) return -1;
+        if (en_ll && enc(&s_ll, ll_dnb, ll_dfs, ll_ns, llc) < 0) return -1;
+        if (bw_put(&w, (uint64_t)(ll[i] - ll_cb_base[llc]), ll_cb_bits[llc]) < 0 ||
+            bw_put(&w, (uint64_t)(mlv[i] - ml_cb_base[mlc]), ml_cb_bits[mlc]) < 0 ||
+            bw_put(&w, (uint64_t)(ofv[i] - (1LL << ofc)), ofc) < 0)
+            return -1;
+    }
+    if (en_ml && bw_put(&w, (uint64_t)(uint32_t)s_ml, ml_log) < 0) return -1;
+    if (en_of && bw_put(&w, (uint64_t)(uint32_t)s_of, of_log) < 0) return -1;
+    if (en_ll && bw_put(&w, (uint64_t)(uint32_t)s_ll, ll_log) < 0) return -1;
+    if (bw_put(&w, 1, 1) < 0) return -1;
+    int pad = (8 - ((w.len * 8 + w.nbits) % 8)) % 8;
+    if (bw_put(&w, 0, pad) < 0) return -1;
+    return w.len;
+}
+
+// Huffman literal-stream encode — exact port of
+// encoding/huff0_enc.py::_encode_stream (reverse symbol order, sentinel 1
+// bit, byte padding). Returns bytes written, -1 on capacity, -2 when a
+// symbol has no code.
+
+int64_t zt_huff_encode_stream(const uint8_t* data, int64_t n,
+                              const uint32_t* codes, const uint8_t* lens,
+                              uint8_t* out, int64_t cap) {
+    ZtBitW w = {out, cap, 0, 0, 0};
+    for (int64_t i = n - 1; i >= 0; i--) {
+        uint8_t b = data[i];
+        int nb = lens[b];
+        if (nb == 0) return -2;
+        if (bw_put(&w, codes[b], nb) < 0) return -1;
+    }
+    if (bw_put(&w, 1, 1) < 0) return -1;
+    int pad = (8 - ((w.len * 8 + w.nbits) % 8)) % 8;
+    if (bw_put(&w, 0, pad) < 0) return -1;
+    return w.len;
+}
+
 }  // extern "C"

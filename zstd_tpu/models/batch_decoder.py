@@ -19,6 +19,7 @@ lane (SURVEY.md §5 failure-detection parity; BASELINE.json config 5).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -499,6 +500,7 @@ class BatchDecoder:
         outputs, out_len, ok = self.run_device(batch)
 
         results = []
+        fallback_idx = []
         for i, meta in enumerate(batch.metas):
             good = (meta.ok and not meta.fallback and bool(ok[i]))
             if (good and meta.out_len >= 0
@@ -511,8 +513,24 @@ class BatchDecoder:
                     if (_fast_xxh64(data) & 0xFFFFFFFF) != meta.checksum:
                         good = False
             if not good:
-                data = self._host_fallback(frames[i])
+                fallback_idx.append(i)
+                data = None
             results.append(data)
+        if len(fallback_idx) > 1:
+            # frames are independent and the native hot loops release the
+            # GIL during their C calls — thread the host fallbacks
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                    max_workers=min(len(fallback_idx), os.cpu_count() or 4)
+            ) as pool:
+                for i, data in zip(fallback_idx, pool.map(
+                        self._host_fallback,
+                        [frames[i] for i in fallback_idx])):
+                    results[i] = data
+        elif fallback_idx:
+            results[fallback_idx[0]] = self._host_fallback(
+                frames[fallback_idx[0]])
         return results
 
     def _host_fallback(self, frame_bytes: bytes):

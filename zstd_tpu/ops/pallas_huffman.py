@@ -34,7 +34,6 @@ from zstd_tpu.ops.pallas_sequence import (
     _CW,
     _fetch,
     _fetch_cached,
-    _lookup,
     _refill_cache,
 )
 

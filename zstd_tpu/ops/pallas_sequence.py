@@ -102,22 +102,7 @@ def _lut(lut_col, code):
                    keepdims=True)
 
 
-def _fetch_window(w_ref, base):
-    """Four consecutive words starting at per-lane word index `base`.
-
-    One scan of the (Nw, B) array: one subtract, four narrow compares +
-    masked reductions — replaces three separate 2-word fetches per step.
-    """
-    W = w_ref[:]
-    d = jax.lax.broadcasted_iota(jnp.int32, W.shape, 0) - base
-    v = []
-    for k in range(4):
-        v.append(jnp.sum(jnp.where(d == k, W, 0), axis=0,
-                         keepdims=True).astype(jnp.uint32))
-    return v
-
-
-# Sliding word-window cache: the full (Nw, B) fetch scan above costs a
+# Sliding word-window cache: a full (Nw, B) fetch scan would cost a
 # pass over the WHOLE stream per step (per-step cost grows with stream
 # width, the wide-bucket wall). Consumption is monotonically downward, so
 # a (2*_CW, B) scratch cache covering the words at/below the cursor serves

@@ -358,8 +358,6 @@ def encode_seq_stream(ll, ml, ofv, kinds) -> bytes | None:
     stream bytes or None when unavailable."""
     import numpy as np
 
-    from zstd_tpu.common import constants as Cst
-
     lib = get_lib()
     if lib is None:
         return None

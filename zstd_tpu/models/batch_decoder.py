@@ -451,7 +451,13 @@ class BatchDecoder:
             for (w, _), rows in _buckets(
                     [max(int(bound_h[i]), 1) for i in pl_live],
                     [1] * len(pl_live), self.max_bucket_elems, q=1):
-                plans.append((w, [pl_live[r] for r in rows], True))
+                rs = [pl_live[r] for r in rows]
+                # the exec kernel interleaves 4 lanes per grid step and runs
+                # each group to its max sequence count — sort by count so
+                # groups are balanced and short lanes don't idle under long
+                # ones
+                rs.sort(key=lambda i: int(nseq_bound[i]))
+                plans.append((w, rs, True))
         if xla_live:
             for (w, _), rows in _buckets(
                     [max(int(bound_h[i]), 1) for i in xla_live],

@@ -111,7 +111,12 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 512):
         idxs.sort(key=lambda i: counts[i])
         for s in range(0, len(idxs), b_max):
             chunk = idxs[s:s + b_max]
-            c = _pow2(max(counts[i] for i in chunk), lo=4, q=1)
+            # steps cost wall time linearly: quantize the step dimension to
+            # whole kernel chunks (512) instead of powers of two (up to 2x
+            # waste); the compiled-shape set stays bounded (<= 64 chunk
+            # counts) and the persistent cache absorbs it
+            maxc = max(counts[i] for i in chunk)
+            c = _pow2(maxc, lo=4, q=1) if maxc <= 512 else -(-maxc // 512) * 512
             out.append(((w, c), chunk))
     return out
 

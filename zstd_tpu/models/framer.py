@@ -460,7 +460,12 @@ class Framer:
         # +1 inert frame row: execution-bucket padding gathers point at it
         Bf = len(self.frames) + 1
         lit_w = _round_pow2(max((f["lit_cursor"] for f in self.frames), default=1))
-        seq_w = _round_pow2(max((f["seq_cursor"] for f in self.frames), default=1), lo=128)
+        # sequence-slot width paces the offset-resolution scan linearly:
+        # quantize to whole 1024-slot chunks, not powers of two (up to 2x
+        # wasted scan steps); must stay 128-aligned for the row scatters
+        max_sc = max((f["seq_cursor"] for f in self.frames), default=1)
+        seq_w = max(128, -(-max_sc // 1024) * 1024) if max_sc > 128 \
+            else _round_pow2(max_sc, lo=128)
         bounds = [f["fcs"] if f["fcs"] is not None else f["out_bound"]
                   for f in self.frames] or [1]
         out_w = _round_pow2(max(bounds))

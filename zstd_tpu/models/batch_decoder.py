@@ -123,11 +123,12 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 512):
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "max_symbols", "table_width",
-                                    "use_pallas"))
+                                    "syms_rows", "use_pallas"))
 def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
                  bnd, syms, nsym_full, dst_frame_full, dst_off_full, idx,
                  lit_full, frame_ok, width: int, max_symbols: int,
-                 table_width: int = 2048, use_pallas: bool = False):
+                 table_width: int = 2048, syms_rows: int = 64,
+                 use_pallas: bool = False):
     # gather this bucket's lanes on device (idx rows, first `width` cols)
     cols = jnp.arange(width, dtype=jnp.int32)
     streams = streams_full[idx[:, None], cols[None, :]]
@@ -138,9 +139,11 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
     dst_off = dst_off_full[idx]
 
     if use_pallas:
+        # the rank-list scan costs ~rows x B per symbol: slice to the
+        # bucket's true max rank count
         lits, ok = decode_huffman_lanes_pallas(
-            streams, pos, bnd[tid], syms[tid], maxbits[tid], nsym,
-            max_symbols)
+            streams, pos, bnd[tid], syms[tid][:, :syms_rows], maxbits[tid],
+            nsym, max_symbols)
     else:
         lits, ok = decode_huffman_lanes(streams, pos, tid,
                                         tables[:, :table_width], maxbits,
@@ -341,8 +344,10 @@ class BatchDecoder:
             lanes = [live[r] for r in rows]
             tw = _pow2(max(1 << int(batch.huff_maxbits[batch.huff_tid[i]])
                            for i in lanes), lo=32)
+            sr = _pow2(-(-max(int(batch.huff_nranks[batch.huff_tid[i]])
+                              for i in lanes) // 4), lo=4, q=1)
             dev["huff_plan"].append(
-                ((w, c, tw), _pad_idx(lanes, huff_inert, lo)))
+                ((w, c, tw, sr), _pad_idx(lanes, huff_inert, lo)))
         live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
         dev["seq_plan"] = []
         for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
@@ -381,7 +386,7 @@ class BatchDecoder:
         # Pallas needs the bucket's word array + per-lane tables + output
         # chunks inside the VMEM budget; oversized buckets (wide streams at
         # the 128-lane minimum) use the XLA path.
-        for (w, c, tw), idx in d["huff_plan"]:
+        for (w, c, tw, sr), idx in d["huff_plan"]:
           with scope(f"huffman_decode_{w}x{c}"):
             lit_full, frame_ok = _huff_bucket(
                 d["huff_streams"], d["huff_pos"], d["huff_tid"],
@@ -389,6 +394,7 @@ class BatchDecoder:
                 d["huff_syms"], d["huff_nsym"],
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
                 lit_full, frame_ok, width=w, max_symbols=c, table_width=tw,
+                syms_rows=sr,
                 use_pallas=pallas_ok and len(idx) *
                 (w + HUFF_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
 

@@ -69,6 +69,7 @@ class DeviceBatch:
     huff_maxbits: np.ndarray   # (Th,) i32
     huff_bnd: np.ndarray       # (Th, 16) i32 boundary rows (pallas decode)
     huff_syms: np.ndarray      # (Th, 64) i32 rank list packed 4 bytes/row
+    huff_nranks: np.ndarray    # (Th,) i32 distinct symbols per table
     huff_dst_frame: np.ndarray  # (Bs,) i32
     huff_dst_off: np.ndarray    # (Bs,) i32
     huff_len: np.ndarray        # (Bs,) i32 true stream byte length
@@ -152,6 +153,7 @@ class Framer:
         self.huff_tabs = _TableCache(2048)
         self.huff_bnd = []
         self.huff_syms = []
+        self.huff_nranks = []
         self.ll_tabs = _TableCache(512)
         self.of_tabs = _TableCache(256)
         self.ml_tabs = _TableCache(512)
@@ -198,8 +200,9 @@ class Framer:
              self.ll_tabs.rows[marks[4]:], self.of_tabs.rows[marks[5]:],
              self.ml_tabs.rows[marks[6]:], self.ll_logs[marks[7]:],
              self.of_logs[marks[8]:], self.ml_logs[marks[9]:],
-             self.huff_bnd[marks[10]:], self.huff_syms[marks[10]:]) = (
-                [], [], [], [], [], [], [], [], [], [], [], [])
+             self.huff_bnd[marks[10]:], self.huff_syms[marks[10]:],
+             self.huff_nranks[marks[10]:]) = (
+                [], [], [], [], [], [], [], [], [], [], [], [], [])
             fr = {"lit_parts": [], "lit_cursor": 0, "seqs": [],
                   "seq_cursor": 0, "out_bound": 0, "fcs": None}
         meta.lit_len = fr["lit_cursor"]
@@ -388,9 +391,10 @@ class Framer:
                     | (table.num_bits.astype(np.uint16) << 8))
         tid = self.huff_tabs.add(row)
         self.huff_maxbits.append(table.max_bits)
-        bnd, syms = huff_boundary_rows(table)
+        bnd, syms, nranks = huff_boundary_rows(table)
         self.huff_bnd.append(bnd)
         self.huff_syms.append(syms)
+        self.huff_nranks.append(nranks)
         return tid
 
     def _add_huff_lane(self, stream: bytes, tid: int, nsym: int,
@@ -552,6 +556,7 @@ class Framer:
                       if self.huff_bnd else np.zeros((1, 16), np.int32)),
             huff_syms=(np.stack(self.huff_syms).astype(np.int32)
                        if self.huff_syms else np.zeros((1, 64), np.int32)),
+            huff_nranks=np.asarray(self.huff_nranks or [1], np.int32),
             huff_dst_frame=huff_dst_frame, huff_dst_off=huff_dst_off,
             huff_len=huff_len,
             seq_streams=seq_streams, seq_pos=seq_pos, seq_n=seq_n,

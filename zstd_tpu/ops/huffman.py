@@ -26,7 +26,8 @@ def huff_boundary_rows(table):
     symbols by ascending weight, huff0_decoder.rs:284-377 semantics).
 
     Returns (bnd (16,) i32: rows w=1..12 hold lo[w] | rank_base[w] << 16,
-             syms (64,) i32: rank list packed 4 bytes/row)."""
+             syms (64,) i32: rank list packed 4 bytes/row,
+             nranks: number of distinct symbols in the rank list)."""
     import numpy as np
 
     mb = table.max_bits
@@ -48,7 +49,7 @@ def huff_boundary_rows(table):
     packed = np.zeros(64, np.int64)
     for r, s in enumerate(syms):
         packed[r >> 2] |= s << ((r & 3) * 8)
-    return bnd.astype(np.int32), packed.astype(np.int32)
+    return bnd.astype(np.int32), packed.astype(np.int32), len(syms)
 
 
 @functools.partial(jax.jit, static_argnames=("max_symbols",))

@@ -72,7 +72,8 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
     rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    rows64 = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+    rows_sym = jax.lax.broadcasted_iota(
+        jnp.int32, (syms_ref.shape[0], 1), 0)
     mb = mb_ref[0:1, :]
     mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
@@ -123,7 +124,7 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
                          keepdims=True)
         lo_w = packed & 0xFFFF
         rank = (packed >> 16) + ((state - lo_w) >> (w - 1))
-        srow = jnp.sum(jnp.where(rows64 == (rank >> 2), syms_ref[:], 0),
+        srow = jnp.sum(jnp.where(rows_sym == (rank >> 2), syms_ref[:], 0),
                        axis=0, keepdims=True)
         sym = (srow >> ((rank & 3) * 8)) & 0xFF
         nb = (mb + 1 - w) * ((i < nsym).astype(jnp.int32))
@@ -180,7 +181,7 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
 def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                                 init_pos,     # (B,) i32 (-1 invalid)
                                 bnd,          # (B, 16) i32 boundary rows
-                                syms,         # (B, 64) i32 packed rank list
+                                syms,         # (B, SR) i32 packed rank list
                                 max_bits,     # (B,) i32
                                 n_symbols,    # (B,) i32
                                 max_symbols: int,
@@ -210,7 +211,7 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
         functools.partial(_huff_kernel, Nw=Nw, n_chunks=n_chunks),
         grid=(n_chunks,),
         in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((16, B)), full((64, B)), full((1, B))],
+                  full((16, B)), full((syms.shape[1], B)), full((1, B))],
         out_specs=(pl.BlockSpec((LIT_CHUNK, B), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM), full((1, B))),
         out_shape=(jax.ShapeDtypeStruct((S, B), jnp.int32),

@@ -35,7 +35,10 @@ def huff_boundary_rows(table):
     nbs = table.num_bits[:sz].astype(np.int64)
     symbols = table.symbol[:sz].astype(np.int64)
     w = mb + 1 - nbs  # weight of each state's symbol
-    bnd = np.zeros(16, np.int64)
+    # rows outside w=1..12 carry a lo sentinel above any state so the
+    # kernel's weight count can sum (lo <= state) over all 16 rows with no
+    # range mask (w = #{rows 1..12: lo <= state}; row 1 always counts)
+    bnd = np.full(16, 0xFFFF, np.int64)
     syms = []
     idx = 0
     for wt in range(1, 13):

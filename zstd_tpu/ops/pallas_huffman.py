@@ -74,6 +74,8 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
     rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
     rows_sym = jax.lax.broadcasted_iota(
         jnp.int32, (syms_ref.shape[0], 1), 0)
+    TH = bnd_ref[:]        # (16, B): lo | rank_base << 16, sentinel rows
+    lo_all = TH & 0xFFFF   # hoisted: loop-invariant, small enough to live
     mb = mb_ref[0:1, :]
     mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
@@ -115,11 +117,8 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
             state = ((state << nb) & tmask) | bits
             hi, lo = _consume(hi, lo, nb_u)
             return sym, (state, vpos - nb, hi, lo, used + nb)
-        TH = bnd_ref[:]                    # (16, B): lo | rank_base << 16
-        lo_all = TH & 0xFFFF
-        inw = (rows16 >= 2) & (rows16 <= 12)
-        w = 1 + jnp.sum((inw & (lo_all <= state)).astype(jnp.int32),
-                        axis=0, keepdims=True)
+        w = jnp.sum((lo_all <= state).astype(jnp.int32), axis=0,
+                    keepdims=True)
         packed = jnp.sum(jnp.where(rows16 == w, TH, 0), axis=0,
                          keepdims=True)
         lo_w = packed & 0xFFFF

@@ -66,40 +66,81 @@ def of_code_of(of_value: int) -> int:
     return of_value.bit_length() - 1
 
 
-def encode_literals_section(lits: bytes, writer_out: bytearray) -> None:
+def _stream_payload_bytes(table, arr: np.ndarray, four: bool) -> int:
+    """Exact encoded payload size (bytes) of `arr` under `table`: per stream
+    sum of code lengths + 1 terminator bit, byte-padded; 6-byte jump table
+    when four streams (huff0_encoder.rs:39-104 framing)."""
+    lens = table.lengths[arr].astype(np.int64)
+    if not four:
+        return (int(lens.sum()) + 1 + 7) // 8
+    split = -(-len(arr) // 4)
+    total = 6
+    for s in range(0, len(arr), split):
+        total += (int(lens[s:s + split].sum()) + 1 + 7) // 8
+    return total
+
+
+def encode_literals_section(lits: bytes, writer_out: bytearray,
+                            prev_table=None):
     """Append the literals section (header + payload), choosing the smallest
-    of Raw / RLE / Huffman-compressed representations."""
+    of Raw / RLE / Huffman-compressed / Treeless representations.
+
+    `prev_table` is the frame's previous Huffman table (cross-block state,
+    compressed.rs:314-377); Treeless (type 3) is emitted when reusing it
+    beats writing a fresh table description. Returns the table that is
+    current after this section (raw/RLE sections leave it untouched)."""
     n = len(lits)
     if n == 0:
         writer_out.append(_lit_header_byte(C.LIT_RAW, 0))
-        return
+        return prev_table
     if lits.count(lits[0]) == n:
         writer_out.extend(_lit_header(C.LIT_RLE, n))
         writer_out.append(lits[0])
-        return
+        return prev_table
 
     best = None
+    out_table = prev_table
     if n > 63:
-        counts = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
+        arr = np.frombuffer(lits, np.uint8)
+        counts = np.bincount(arr, minlength=256)
+        four = n >= 256
+        new_table = None
+        desc = b""
+        cost_new = 1 << 62
         try:
-            table = huff0_enc.build_from_counts(counts)
+            new_table = huff0_enc.build_from_counts(counts)
             tw = BitWriter()
-            huff0_enc.write_table_description(table, tw)
+            huff0_enc.write_table_description(new_table, tw)
             desc = tw.dump()
-            four = n >= 256
+            cost_new = len(desc) + _stream_payload_bytes(new_table, arr, four)
+        except EncodeError:
+            new_table = None
+        cost_reuse = 1 << 62
+        if (prev_table is not None
+                and len(prev_table.lengths) > int(arr.max())
+                and np.all(prev_table.lengths[arr] > 0)):
+            cost_reuse = _stream_payload_bytes(prev_table, arr, four)
+        table, lit_type = (
+            (prev_table, C.LIT_TREELESS) if cost_reuse < cost_new
+            else (new_table, C.LIT_COMPRESSED))
+        comp_size = min(cost_reuse, cost_new)
+        if table is not None:
             payload = (huff0_enc.encode_4stream(table, lits) if four
                        else huff0_enc.encode_1stream(table, lits))
-            comp_size = len(desc) + len(payload)
-            header = _lit_header_compressed(C.LIT_COMPRESSED, n, comp_size, four)
-            if header is not None and len(header) + comp_size < 1 + _raw_header_len(n) + n:
-                best = header + desc + payload
-        except EncodeError:
-            best = None
+            if lit_type == C.LIT_COMPRESSED:
+                payload = desc + payload
+            assert len(payload) == comp_size, "payload cost model mismatch"
+            header = _lit_header_compressed(lit_type, n, comp_size, four)
+            if (header is not None
+                    and len(header) + comp_size < 1 + _raw_header_len(n) + n):
+                best = header + payload
+                out_table = table
     if best is not None:
         writer_out.extend(best)
-        return
+        return out_table
     writer_out.extend(_lit_header(C.LIT_RAW, n))
     writer_out.extend(lits)
+    return prev_table
 
 
 def _raw_header_len(n: int) -> int:
@@ -350,15 +391,19 @@ def encode_sequences_section_arrays(lit_lens, offsets, match_lens, out,
 
 
 def compress_block(block: bytes, matcher=None,
-                   offset_hist: list[int] | None = None) -> bytes | None:
+                   offset_hist: list[int] | None = None,
+                   huff_cell: list | None = None) -> bytes | None:
     """Produce compressed-block content, or None when it does not pay
     (caller falls back to a Raw block — levels/fastest.rs:49-57).
 
-    `offset_hist` is the frame's repeat-offset history; the caller commits
-    the mutated list only when the compressed form is actually emitted.
+    `offset_hist` is the frame's repeat-offset history and `huff_cell` a
+    one-element cell holding the frame's previous Huffman table (Treeless
+    reuse state); the caller commits both only when the compressed form is
+    actually emitted.
     """
     from zstd_tpu.oracle.sequences import _native_runtime
 
+    prev_huff = huff_cell[0] if huff_cell else None
     rt = _native_runtime()
     if matcher is None and rt is not None:
         arrs = rt.find_sequences_arrays(block)
@@ -376,19 +421,23 @@ def compress_block(block: bytes, matcher=None,
                    + np.arange(total, dtype=np.int64))
             lits = np.frombuffer(block, np.uint8)[idx].tobytes()
             out = bytearray()
-            encode_literals_section(lits, out)
+            cur = encode_literals_section(lits, out, prev_huff)
             if encode_sequences_section_arrays(lit_lens, offsets,
                                                match_lens, out,
                                                offset_hist, rt):
                 if len(out) >= len(block):
                     return None
+                if huff_cell is not None:
+                    huff_cell[0] = cur
                 return bytes(out)
 
     seqs = matcher.find(block) if matcher is not None else find_sequences(block)
     lits = b"".join(s.literals for s in seqs)
     out = bytearray()
-    encode_literals_section(lits, out)
+    cur = encode_literals_section(lits, out, prev_huff)
     encode_sequences_section(seqs, out, offset_hist)
     if len(out) >= len(block):
         return None
+    if huff_cell is not None:
+        huff_cell[0] = cur
     return bytes(out)

@@ -75,6 +75,7 @@ class FrameCompressor:
         if self.matcher is not None:
             self.matcher.reset(level)
         self._offset_hist = list(C.INITIAL_REPEAT_OFFSETS)
+        self._huff_table = None  # cross-block Treeless reuse state
         hasher = Xxh64() if cfg.write_checksum else None
         window_log = (self.matcher.window_size().bit_length() - 1
                       if self.matcher is not None else cfg.window_log)
@@ -115,11 +116,13 @@ class FrameCompressor:
             drain.write(block[0:1])
             return
         hist = list(self._offset_hist)
-        compressed = compress_block(block, self.matcher, hist)
+        huff_cell = [self._huff_table]
+        compressed = compress_block(block, self.matcher, hist, huff_cell)
         if compressed is not None and len(compressed) < len(block):
             drain.write(_block_header(last, C.BLOCK_COMPRESSED, len(compressed)))
             drain.write(compressed)
             self._offset_hist = hist  # commit only when the block is emitted
+            self._huff_table = huff_cell[0]
         else:
             drain.write(_block_header(last, C.BLOCK_RAW, len(block)))
             drain.write(block)

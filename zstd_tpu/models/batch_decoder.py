@@ -79,25 +79,36 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
 
 # Pallas VMEM budget for bucket planning. The compiler's default scoped
 # limit is 16 MB but v5e VMEM is far larger — every kernel passes
-# CompilerParams(vmem_limit_bytes=100 MB), so plan against 64 MB and leave
+# CompilerParams(vmem_limit_bytes=100 MB), so plan against 80 MB and leave
 # headroom for XLA's scoped result placement. Per-lane overheads beyond
 # the stream bytes: per-lane tables + double-buffered output chunks.
-PALLAS_VMEM_BUDGET = 64 << 20
+PALLAS_VMEM_BUDGET = 80 << 20
 HUFF_LANE_OVERHEAD = 4096 + 4096    # packed (1024,B) table + lit out chunks
 SEQ_LANE_OVERHEAD = 5120 + 12288    # 512+256+512 tables + 3 out chunks x2
 
+# lane-count quantization ladder for packed buckets: multiples of 128 with
+# <= 1.34x padding waste, bounded compile-shape set
+_B_LADDER = [128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096]
 
-def _buckets_pallas(widths, counts, overhead: int, bmax: int = 512):
+
+def _bquant(n: int, cap: int) -> int:
+    for b in _B_LADDER:
+        if b >= n and b <= cap:
+            return b
+    return -(-n // 128) * 128  # beyond the ladder: 128-multiples
+
+
+def _buckets_pallas(widths, counts, overhead: int, bmax: int = 4096):
     """Bucket plan for the Pallas kernels.
 
-    Per-step cost is nearly independent of the lane count B up to ~512
-    (fixed per-instruction overhead dominates), then degrades sharply:
-    the ~10 live per-lane carries spill the vector register file once
-    each is 8+ vregs (measured: B=1024 huffman ~4x slower per step). So:
-    group by quantized width (merging widths pads streams and inflates
-    the refill sweep for nothing — count distributions are too flat for
-    the merged bucket to run fewer steps), pack count-sorted lanes up to
-    min(vmem cap, bmax), run each bucket for its own max step count.
+    Per-step cost is nearly independent of the lane count B (fixed
+    per-instruction issue overhead dominates; measured flat to B=2048 in
+    the packed (G,128) sublane layout — scripts/kbench.py r2 sweep:
+    huffman 25.5 M sym/s @512 -> 109 M @2048, seq 107 M seq/s @1024 ->
+    208 M @2048). So: group by quantized width (merging widths pads
+    streams and inflates the refill sweep for nothing), pack count-sorted
+    lanes up to min(vmem cap, bmax), run each bucket for its own max step
+    count.
     """
     groups = {}
     for i, w in enumerate(widths):
@@ -274,8 +285,13 @@ def _pad_idx(rows, inert: int, lo: int = 4) -> np.ndarray:
     Pallas kernels want lo=128: lanes are the physical minor dim and arrays
     are tile-padded to 128 there anyway, so smaller buckets would pay full
     vregs (and can trip XLA's VMEM result placement) without saving compute.
+    Above 128 the ladder keeps padding waste <= 1.34x at a bounded
+    compile-shape set.
     """
-    n = _pow2(len(rows), lo=lo, q=1 if lo >= 128 else 2) if rows else lo
+    if lo >= 128:
+        n = _bquant(max(len(rows), lo), 1 << 30) if rows else lo
+    else:
+        n = _pow2(len(rows), lo=lo, q=2) if rows else lo
     return np.asarray(rows + [inert] * (n - len(rows)), np.int32)
 
 
@@ -331,7 +347,7 @@ class BatchDecoder:
         huff_inert = batch.huff_streams.shape[0] - 1  # the +1 inert row
         seq_inert = batch.seq_streams.shape[0] - 1
 
-        def plan(widths, counts, overhead, bmax=512):
+        def plan(widths, counts, overhead, bmax=4096):
             if pallas:
                 return _buckets_pallas(widths, counts, overhead, bmax)
             return _buckets(widths, counts, self.max_bucket_elems)
@@ -352,7 +368,7 @@ class BatchDecoder:
         dev["seq_plan"] = []
         for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
                                  [int(batch.seq_n[i]) for i in live],
-                                 SEQ_LANE_OVERHEAD, bmax=256):
+                                 SEQ_LANE_OVERHEAD, bmax=2048):
             lanes = [live[r] for r in rows]
             tws = tuple(
                 _pow2(max(1 << int(logs[tid[i]]) for i in lanes), lo=32)
@@ -380,6 +396,20 @@ class BatchDecoder:
                f"{len(d['huff_plan'])} huffman buckets, "
                f"{len(d['seq_plan'])} sequence buckets")
 
+        # dev-only stage attribution: force a sync + wall-clock print after
+        # each stage (ZSTD_TPU_STAGE_SYNC=1). Never set in production — the
+        # syncs break the async dispatch queue.
+        import time as _time
+        _sync_t = [_time.time()]
+
+        def _stage_sync(label, arr):
+            if not os.environ.get("ZSTD_TPU_STAGE_SYNC"):
+                return
+            int(jnp.sum(arr.astype(jnp.int32) if arr.dtype == bool else arr))
+            now = _time.time()
+            print(f"  [stage] {label}: {now - _sync_t[0]:.3f}s")
+            _sync_t[0] = now
+
         pallas_ok = use_pallas_kernels()
 
         # --- stage 1a: huffman lanes, bucketed --------------------------------
@@ -397,6 +427,7 @@ class BatchDecoder:
                 syms_rows=sr,
                 use_pallas=pallas_ok and len(idx) *
                 (w + HUFF_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
+          _stage_sync(f"huff {w}x{c} B={len(idx)}", lit_full)
 
         # --- stage 1b: sequence lanes, bucketed --------------------------------
         ll_full, ml_full, of_full = d["ll_base"], d["ml_base"], d["of_base"]
@@ -412,11 +443,13 @@ class BatchDecoder:
                 table_widths=tws,
                 use_pallas=pallas_ok and len(idx) *
                 (w + SEQ_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
+          _stage_sync(f"seq {w}x{c} B={len(idx)}", ll_full)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
         with scope("offset_resolution"):
             offsets, out_len, res_ok, nseq = _resolve(
                 ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
+        _stage_sync("resolve", out_len)
         ok_dev = frame_ok & res_ok
 
         # --- stage 3: execution, bucketed by output size ------------------------
@@ -489,6 +522,7 @@ class BatchDecoder:
                         ll_full, ml_full, offsets, lit_full, out_len,
                         jnp.asarray(idx), out_width=w)
             ok_dev = ok_dev.at[jnp.asarray(idx)].min(exec_ok)
+            _stage_sync(f"exec {w} B={len(idx)} pl={use_pl}", out_b)
             pending.append((rows, out_b))
 
         # single host sync for the whole pipeline

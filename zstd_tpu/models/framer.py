@@ -310,9 +310,7 @@ class Framer:
             p += comp
             q = 0
             if section.lit_type == C.LIT_COMPRESSED:
-                table, consumed = huff0.parse_huffman_table(payload)
-                q = consumed
-                cur_huff = self._add_huff_table(table)
+                cur_huff, q = self._parse_huff(payload)
             else:
                 if cur_huff is None:
                     raise ZstdError("treeless literals without a table")
@@ -380,6 +378,30 @@ class Framer:
         # the format caps it at 128 KiB for batch sizing
         fr["out_bound"] += C.MAX_BLOCK_SIZE
         return cur_huff, cur_ll, cur_of, cur_ml
+
+    def _parse_huff(self, payload: bytes) -> tuple:
+        """Parse a Huffman table description into the table caches.
+
+        The native parser emits the packed LUT row and boundary forms
+        directly (zt_huff_parse — the framer's profiled hot spot); on a
+        negative code or missing library the Python oracle path runs and
+        raises the exact typed error.
+        """
+        from zstd_tpu.oracle.sequences import _native_runtime
+
+        rt = _native_runtime()
+        if rt is not None:
+            res = rt.huff_parse(payload)
+            if isinstance(res, tuple):
+                lut, bnd, syms, max_bits, nranks, consumed = res
+                tid = self.huff_tabs.add(lut)
+                self.huff_maxbits.append(max_bits)
+                self.huff_bnd.append(bnd)
+                self.huff_syms.append(syms)
+                self.huff_nranks.append(nranks)
+                return tid, consumed
+        table, consumed = huff0.parse_huffman_table(payload)
+        return self._add_huff_table(table), consumed
 
     def _add_huff_table(self, table) -> int:
         """Register a Huffman LUT + its boundary form; returns the tid."""
@@ -449,6 +471,17 @@ class Framer:
             logs[kind].append(0)
             return tid, 1
         if mode == C.MODE_FSE:
+            from zstd_tpu.oracle.sequences import _native_runtime
+
+            rt = _native_runtime()
+            if rt is not None:
+                res = rt.fse_parse_packed(bytes(data), max_logs[kind],
+                                          widths[kind])
+                if isinstance(res, tuple):
+                    row, acc_log, consumed = res
+                    tid = caches[kind].add(row)
+                    logs[kind].append(acc_log)
+                    return tid, consumed
             rdr = BitReader(bytes(data))
             t = fse.parse_fse_table(rdr, max_logs[kind])
             tid = caches[kind].add(pack_fse_table(t, widths[kind]))

@@ -66,6 +66,8 @@ def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
     rows_k rows (128 bytes each) per iteration. Caller guarantees either
     src_ref is not out_ref, or (db - sb) >= 128 * rows_k (no chunk reads its
     own writes). Partial head/tail rows are handled by the store mask.
+    All cursors carry the PAD_ROWS lead-row shift, so every source row
+    index is >= 0 for active records (no roll-down fixup needed).
     """
     delta = sb - db
     q = delta >> 7
@@ -81,12 +83,8 @@ def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
     def body(c, _):
         rd = rd0 + c * rows_k
         rs = rd + q
-        # one (rows_k+1, 128) load + one roll serve both source row-sets.
-        # rs can be -1 on the first chunk (src bytes below 0 are masked
-        # off); a plain clamp would shift the whole window, so roll the
-        # rows down by one instead — garbage lands in a masked row.
+        # one (rows_k+1, 128) load + one roll serve both source row-sets
         blk = src_ref[lane, pl.ds(jnp.clip(rs, 0, rmax), rows_k + 1), :]
-        blk = jnp.where(rs < 0, pltpu.roll(blk, 1, axis=0), blk)
         rot = pltpu.roll(blk, sh, axis=1)
         val = jnp.where(jj < 128 - m, rot[0:rows_k], rot[1:rows_k + 1])
         d = 128 * rd + 128 * rr + jj
@@ -163,12 +161,13 @@ def _fill_periodic_short(out_ref, lane, db, off, n, consts):
 
 
 def _window(ref, lane, row, sh, rows: int, max_rows: int):
-    """(rows,128) byte window of `ref` starting at row `row` (>= -1),
-    rotated left by sh within rows — the two-source-roll gather used by
-    every copy. Returns the rolled (rows+1, 128) block; caller selects
-    rot[0:rows] vs rot[1:rows+1] by column."""
+    """(rows,128) byte window of `ref` starting at row `row` (>= 0 for every
+    active record thanks to the PAD_ROWS lead shift), rotated left by sh
+    within rows — the two-source-roll gather used by every copy. Returns
+    the rolled (rows+1, 128) block; caller selects rot[0:rows] vs
+    rot[1:rows+1] by column. The clip only matters for inactive/garbage
+    records whose stores are masked off anyway."""
     blk = ref[lane, pl.ds(jnp.clip(row, 0, max_rows - rows - 1), rows + 1), :]
-    blk = jnp.where(row < 0, pltpu.roll(blk, 1, axis=0), blk)
     return pltpu.roll(blk, sh, axis=1)
 
 
@@ -178,7 +177,11 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
 
     Covers spans (op&127) + ll + ml <= 128*(_FR-1) with match source fully
     below op (off >= ll + ml). One load each from literals and output
-    history, one masked (_FR,128) read-modify-write store.
+    history, one masked (_FR,128) read-modify-write store. Both source
+    windows anchor directly at the store row rd: the PAD_ROWS lead shift
+    guarantees their start rows are >= 0 (lit: lp >= 256 so
+    lp - (op&127) >= 129; match: opm - off >= 256 when disjoint, so
+    128*rd - off >= opm - 255 - off >= 1).
     """
     jj5, rr, d4 = consts4
     jj = jj5[:_FR]
@@ -188,27 +191,16 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
 
     # literal source window aligned to dst rows
     dl = lp - op
-    ql = dl >> 7
     ml_ = dl & 127
-    lrot = _window(lit_ref, lane, rd + ql, (128 - ml_) & 127, _FR, lit_rows)
+    lrot = _window(lit_ref, lane, rd + (dl >> 7), (128 - ml_) & 127, _FR,
+                   lit_rows)
     lval = jnp.where(jj < 128 - ml_, lrot[0:_FR], lrot[1:_FR + 1])
 
-    # match source window (src = d - off for d >= opm), aligned to opm's row
-    # rdm — aligning to rd could place the window start below row -1 when ll
-    # spans rows and off ~ opm (src start row(opm-off) >= 0 guarantees
-    # rdm + qm >= -1, which _window's roll-down trick handles) — then
-    # sublane-rolled down to the rd-based store window.
-    rdm = opm >> 7
-    dm = -off
-    qm = dm >> 7
-    mm = dm & 127
-    mrot = _window(out_ref, lane, rdm + qm, (128 - mm) & 127, _FR, out_rows)
+    # match source window (src = d - off for d >= opm), anchored at rd
+    mm = (-off) & 127
+    mrot = _window(out_ref, lane, rd + ((-off) >> 7), (128 - mm) & 127, _FR,
+                   out_rows)
     mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
-    # shift down to the rd-based store window; Mosaic has no dynamic
-    # sublane rotate, so a single conditional static roll covers the
-    # dr <= 1 the `common` predicate guarantees ((op&127) + ll <= 255)
-    dr = rdm - rd
-    mval = jnp.where(dr == 1, pltpu.roll(mval, 1, axis=0), mval)
 
     d = 128 * rd + d4
     val = jnp.where(d < opm, lval, mval)
@@ -237,7 +229,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
     rr4 = jax.lax.broadcasted_iota(jnp.int32, (_FR, 128), 0)
     consts4 = (jj4, rr4, 128 * rr4 + jj4[:_FR])
 
-    def slow_seq(j, op, lp, ll, ml, off):
+    def slow_seq(j, op, lp, ll, ml, off):  # noqa: C901
         """v1 branched dispatch — long runs and overlapping matches."""
         @pl.when((ll > 0) & ((op & 127) + ll <= 256))
         def _():
@@ -293,23 +285,21 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         def _():
             _fill_periodic(out_ref, j, opm, off, ml)
 
-    span_max = 128 * (_FR - 1)
-
     def seq_body(i, carry):
         # cursors are precomputed prefix sums (XLA side): no serial carry —
-        # every lane-iteration is fully independent, maximizing ILP
+        # every lane-iteration is fully independent, maximizing ILP. The
+        # fused-path eligibility (fits-in-window & disjoint-source) is also
+        # precomputed in XLA and packed into bit 24 of the ll record.
         recs = []
         for j in range(_L):
             op = op_ref[j, 0, i]
             lp = lp_ref[j, 0, i]
-            ll = ll_ref[j, 0, i]
+            llp = ll_ref[j, 0, i]
+            ll = llp & 0xFFFFFF
             ml = ml_ref[j, 0, i]
             off = of_ref[j, 0, i]
             active = i < counts[j]
-            fits = ((op & 127) + ll + ml <= span_max) \
-                & ((op & 127) + ll <= 255)  # match-window shift dr <= 1
-            disjoint = (ml == 0) | (off >= ll + ml)
-            common = active & fits & disjoint
+            common = active & (llp >= (1 << 24))
             recs.append((j, op, lp, ll, ml, off, active, common))
 
         if _ABLATE == "body":
@@ -352,8 +342,12 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
         out_len = jnp.pad(out_len, (0, pad))
     B = ll.shape[0]
     lit_w = literals.shape[1]
-    out_rows = (out_width + 127) // 128 + _K + 2
-    lit_rows = (lit_w + 127) // 128 + _K + 2
+    # 3 lead pad rows shift every cursor by +384 bytes so all source-window
+    # row indices stay >= 0 inside the kernel (no roll-down fixups, and the
+    # fused match window anchors directly at the store row)
+    PAD = 3 * 128
+    out_rows = 3 + (out_width + 127) // 128 + _K + 2
+    lit_rows = 3 + (lit_w + 127) // 128 + _K + 2
 
     # --- XLA-side validation (cheap vector ops) ---------------------------
     run = ll + ml
@@ -382,14 +376,20 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
             x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1])))
         return x[:, None, :]  # (B, 1, s_pad)
 
-    lit_pad = lit_rows * 128 - lit_w
-    lit_i32 = jnp.pad(literals, ((0, 0), (0, lit_pad))).astype(
-        jnp.int32).reshape(B, lit_rows, 128)
+    lit_i32 = jnp.pad(literals, ((0, 0), (PAD, lit_rows * 128 - lit_w - PAD))
+                      ).astype(jnp.int32).reshape(B, lit_rows, 128)
 
-    # exclusive prefix cursors (out position / literal position per record):
-    # computing them here removes the kernel's serial carry chain
-    opv = endpos - run
-    lpv = lit_need - ll
+    # exclusive prefix cursors (out position / literal position per record),
+    # shifted by the lead pad: computing them here removes the kernel's
+    # serial carry chain
+    opv = endpos - run + PAD
+    lpv = lit_need - ll + PAD
+    # fused-path eligibility per record, packed into ll bit 24 (scalar SMEM
+    # reads pace the kernel loop — one packed read beats five ALU ops)
+    span_max = 128 * (_FR - 1)
+    fits = ((opv & 127) + run) <= span_max
+    disjoint = (ml == 0) | (offset >= run)
+    ll = ll | jnp.where(fits & disjoint, 1 << 24, 0)
 
     smem_rec = pl.BlockSpec((_L, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
@@ -412,7 +412,7 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
       nseq[:, None, None], lit_i32)
 
-    flat = out_i32.reshape(B, out_rows * 128)[:, :out_width]
+    flat = out_i32.reshape(B, out_rows * 128)[:, PAD:PAD + out_width]
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < out_len[:, None], flat, 0).astype(jnp.uint8)
     return out[:B0], ok[:B0]

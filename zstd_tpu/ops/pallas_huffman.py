@@ -68,35 +68,37 @@ def _top_bits(hi, n_u):
 
 
 def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
-                 lit_out, ok_ref, st_ref, cache_ref, Nw: int, n_chunks: int):
+                 lit_out, ok_ref, st_ref, cache_ref, Nw: int, n_chunks: int,
+                 G: int = 0):
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
-    rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    ld1 = (1,) * (bnd_ref.ndim - 1)  # (1,) flat, (1, 1) packed
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (16,) + ld1, 0)
     rows_sym = jax.lax.broadcasted_iota(
-        jnp.int32, (syms_ref.shape[0], 1), 0)
-    TH = bnd_ref[:]        # (16, B): lo | rank_base << 16, sentinel rows
+        jnp.int32, (syms_ref.shape[0],) + ld1, 0)
+    TH = bnd_ref[:]        # (16, *lanes): lo | rank_base << 16, sentinels
     lo_all = TH & 0xFFFF   # hoisted: loop-invariant, small enough to live
-    mb = mb_ref[0:1, :]
+    mb = mb_ref[0:1]
     mb_u = mb.astype(_U32)
     tmask = (jnp.int32(1) << mb) - 1
-    nsym = nsym_ref[0:1, :]
+    nsym = nsym_ref[0:1]
 
     @pl.when(pid == 0)
     def _():
         # scratch rows: 0=state 1=vpos 2=ok 3=cont_hi 4=cont_lo 5=fill_pos
         # 6=used (bits consumed since last refill)
-        pos0 = init_ref[0:1, :]
+        pos0 = init_ref[0:1]
         v_hi, fp = _fetch(words_ref, pos0, jnp.full_like(pos0, 32))
         v_lo, fp = _fetch(words_ref, fp, jnp.full_like(pos0, 32))
         state0 = _top_bits(v_hi, mb_u).astype(jnp.int32) & tmask
         hi, lo = _consume(v_hi, v_lo, mb_u)
-        st_ref[0:1, :] = state0
-        st_ref[1:2, :] = pos0 - mb
-        st_ref[2:3, :] = (pos0 >= 0).astype(jnp.int32)
-        st_ref[3:4, :] = hi.astype(jnp.int32)
-        st_ref[4:5, :] = lo.astype(jnp.int32)
-        st_ref[5:6, :] = fp
-        st_ref[6:7, :] = mb  # init consumed mb bits
+        st_ref[0:1] = state0
+        st_ref[1:2] = pos0 - mb
+        st_ref[2:3] = (pos0 >= 0).astype(jnp.int32)
+        st_ref[3:4] = hi.astype(jnp.int32)
+        st_ref[4:5] = lo.astype(jnp.int32)
+        st_ref[5:6] = fp
+        st_ref[6:7] = mb  # init consumed mb bits
 
     def sym_step(i, st):
         # Ungated except bit consumption: inactive lanes consume 0 bits so
@@ -138,14 +140,14 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
 
         @pl.when(g % _CACHE_R == 0)
         def _():
-            st_ref[7:8, :] = _refill_cache(words_ref, cache_ref, fp, nblk)
+            st_ref[7:8] = _refill_cache(words_ref, cache_ref, fp, nblk)
 
         # refill first: `used` <= 22 bits are free at the container bottom
         if _ABLATE == "fetch":
             newbits = jnp.zeros_like(used).astype(_U32)
             fp = fp - used
         else:
-            newbits, fp = _fetch_cached(cache_ref, st_ref[7:8, :], fp, used)
+            newbits, fp = _fetch_cached(cache_ref, st_ref[7:8], fp, used)
         lo = lo | newbits
         used = jnp.zeros_like(used)
 
@@ -155,25 +157,34 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
         out1, st = sym_step(i + 1, st)
         state, vpos, hi, lo, used = st
         if _ABLATE != "store":
-            lit_out[pl.ds(k, 1), :] = out0
-            lit_out[pl.ds(k + 1, 1), :] = out1
+            if G:
+                # outputs are (S*G, 128) 2D (3D pallas results trip XLA's
+                # scoped-vmem placement); (1,G,128)->(G,128) is free
+                lit_out[pl.ds(k * G, G), :] = out0.reshape(G, 128)
+                lit_out[pl.ds((k + 1) * G, G), :] = out1.reshape(G, 128)
+            else:
+                lit_out[pl.ds(k, 1), :] = out0
+                lit_out[pl.ds(k + 1, 1), :] = out1
         return state, vpos, ok, hi, lo, fp, used
 
-    carry = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :],
-             st_ref[3:4, :].astype(_U32), st_ref[4:5, :].astype(_U32),
-             st_ref[5:6, :], st_ref[6:7, :])
+    carry = (st_ref[0:1], st_ref[1:2], st_ref[2:3],
+             st_ref[3:4].astype(_U32), st_ref[4:5].astype(_U32),
+             st_ref[5:6], st_ref[6:7])
     state, vpos, ok, hi, lo, fp, used = jax.lax.fori_loop(
         0, LIT_CHUNK // 2, group, carry)
-    st_ref[0:1, :] = state
-    st_ref[1:2, :] = vpos
-    st_ref[2:3, :] = ok
-    st_ref[3:4, :] = hi.astype(jnp.int32)
-    st_ref[4:5, :] = lo.astype(jnp.int32)
-    st_ref[5:6, :] = fp
-    st_ref[6:7, :] = used
+    st_ref[0:1] = state
+    st_ref[1:2] = vpos
+    st_ref[2:3] = ok
+    st_ref[3:4] = hi.astype(jnp.int32)
+    st_ref[4:5] = lo.astype(jnp.int32)
+    st_ref[5:6] = fp
+    st_ref[6:7] = used
     # valid stream: bits exactly exhausted (vpos lands on -max_bits)
-    ok_ref[0:1, :] = ((ok == 1) & (vpos == -mb)
-                      | (nsym <= 0)).astype(jnp.int32)
+    final_ok = ((ok == 1) & (vpos == -mb) | (nsym <= 0)).astype(jnp.int32)
+    if G:
+        ok_ref[0:G, :] = final_ok.reshape(G, 128)
+    else:
+        ok_ref[0:1] = final_ok
 
 
 @functools.partial(jax.jit, static_argnames=("max_symbols", "interpret"))
@@ -189,7 +200,22 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
     pre-gathered per lane — ops/huffman.py::huff_boundary_rows).
 
     Returns (literals (B, max_symbols) u8, ok (B,) bool)."""
-    B, L = streams_u8.shape
+    B0, L = streams_u8.shape
+    # lanes >= 256 are packed (G, 128) across sublanes x minor so the
+    # per-step tiny ops use whole vregs instead of 1/8 of each sublane
+    # tile (see pallas_sequence.py)
+    packed = B0 > 128
+    if packed and B0 % 128:
+        pad_b = 128 - B0 % 128
+        streams_u8 = jnp.pad(streams_u8, ((0, pad_b), (0, 0)))
+        init_pos = jnp.pad(init_pos, (0, pad_b), constant_values=-1)
+        bnd = jnp.pad(bnd, ((0, pad_b), (0, 0)))
+        syms = jnp.pad(syms, ((0, pad_b), (0, 0)))
+        max_bits = jnp.pad(max_bits, (0, pad_b), constant_values=1)
+        n_symbols = jnp.pad(n_symbols, (0, pad_b))
+    B = streams_u8.shape[0]
+    ldims = (B // 128, 128) if packed else (B,)
+    G = B // 128 if packed else 0
     Nw = (L + 3) // 4 + 2
     Nw = (Nw + _CW - 1) // _CW * _CW  # whole cache blocks (refill slices)
     pad = Nw * 4 - L
@@ -201,28 +227,36 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
     n_chunks = max(1, (max_symbols + LIT_CHUNK - 1) // LIT_CHUNK)
     S = n_chunks * LIT_CHUNK
 
-    row = lambda x: x.astype(jnp.int32)[None, :]
+    row = lambda x: x.astype(jnp.int32).reshape((1,) + ldims)
+    tab3 = lambda t: t.astype(jnp.int32).T.reshape((t.shape[1],) + ldims)
     # constant index map -> single-buffer (see pallas_sequence.py)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       pipeline_mode=pl.Buffered(1),
                                       memory_space=pltpu.VMEM)
+    oblk = (LIT_CHUNK * G, 128) if packed else (LIT_CHUNK, B)
     lit_o, okv = pl.pallas_call(
-        functools.partial(_huff_kernel, Nw=Nw, n_chunks=n_chunks),
+        functools.partial(_huff_kernel, Nw=Nw, n_chunks=n_chunks, G=G),
         grid=(n_chunks,),
-        in_specs=[full((Nw, B)), full((1, B)), full((1, B)),
-                  full((16, B)), full((syms.shape[1], B)), full((1, B))],
-        out_specs=(pl.BlockSpec((LIT_CHUNK, B), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM), full((1, B))),
-        out_shape=(jax.ShapeDtypeStruct((S, B), jnp.int32),
-                   jax.ShapeDtypeStruct((1, B), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((8, B), jnp.int32),
-                        pltpu.VMEM((2 * _CW, B), jnp.int32)],
+        in_specs=[full((Nw,) + ldims), full((1,) + ldims),
+                  full((1,) + ldims), full((16,) + ldims),
+                  full((syms.shape[1],) + ldims), full((1,) + ldims)],
+        out_specs=(pl.BlockSpec(oblk, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   full((max(G, 1), 128) if packed else (1, B))),
+        out_shape=(jax.ShapeDtypeStruct((S * max(G, 1),) + ((128,) if packed
+                                                            else (B,)),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((max(G, 1), 128) if packed
+                                        else (1, B), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((8,) + ldims, jnp.int32),
+                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(words.T, row(init_pos), row(n_symbols), bnd.astype(jnp.int32).T,
-      syms.astype(jnp.int32).T, row(max_bits))
+    )(words.T.reshape((Nw,) + ldims), row(init_pos), row(n_symbols),
+      tab3(bnd), tab3(syms), row(max_bits))
 
-    ok = (okv[0] == 1) & (init_pos >= 0) | (n_symbols <= 0)
-    lits = lit_o[:max_symbols].T.astype(jnp.uint8)
+    ok = ((okv.reshape(B)[:B0] == 1) & (init_pos[:B0] >= 0)
+          | (n_symbols[:B0] <= 0))
+    lits = lit_o.reshape(S, B)[:max_symbols, :B0].T.astype(jnp.uint8)
     return lits, ok

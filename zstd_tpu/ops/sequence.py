@@ -159,3 +159,71 @@ def resolve_offsets(ll,        # (B, S) i32 literal lengths per sequence
     _, (offsets, ok) = jax.lax.scan(
         step, init_hist, (ll.T, ofv.T, is_real.T))
     return offsets.T, jnp.all(ok, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def resolve_offsets_symbolic(ll,       # (B, S) i32
+                             ofv,      # (B, S) i32
+                             is_real,  # (B, S) bool
+                             ):
+    """Repeat-offset resolution with a SYMBOLIC initial history.
+
+    For chained block groups (streamed big-frame decode) the repcode
+    history threads sequentially through all groups, but each resolved
+    offset is always either a constant or `init_hist[tag] - delta` of the
+    group's incoming history — the transition family {const, pick-and-
+    decrement, permute} is closed under composition. So every group scans
+    independently here, and the cheap per-chain composition + fixup happens
+    in apply_hist/compose_hist. Matches resolve_offsets semantics except
+    the r1-1 zero-clamp (sequence_execution.rs:90): a clamped offset is 0,
+    which fixup flags invalid anyway, so lanes only diverge after they are
+    already poisoned.
+
+    Returns (tag (B,S) i32 0..2 = init slot | 3 = const,
+             val (B,S) i32 (delta for slots, value for consts),
+             trans_tag (B,3), trans_val (B,3): the group's final history as
+             a function of its incoming history).
+    """
+    def step(hist, xs):
+        llv, of_value, real = xs
+        t1, t2, t3 = hist[:, 0], hist[:, 1], hist[:, 2]
+        v1, v2, v3 = hist[:, 3], hist[:, 4], hist[:, 5]
+        idx = jnp.where(llv == 0, of_value + 1, of_value)
+        sel_t = jnp.where(idx == 2, t2, jnp.where(idx == 3, t3, t1))
+        # "repcode1 - 1": slot deltas grow (+1), const values shrink (-1)
+        dec1 = jnp.where(t1 == 3, v1 - 1, v1 + 1)
+        sel_v = jnp.where(idx == 2, v2,
+                          jnp.where(idx == 3, v3,
+                                    jnp.where(idx >= 4, dec1, v1)))
+        is_lit = of_value > 3
+        out_t = jnp.where(real & ~is_lit, sel_t, 3)
+        out_v = jnp.where(real, jnp.where(is_lit, of_value - 3, sel_v),
+                          of_value)
+        shift = real & (is_lit | (idx >= 2))
+        shift2 = real & (is_lit | (idx >= 3))
+        n1t = jnp.where(shift, out_t, t1)
+        n1v = jnp.where(shift, out_v, v1)
+        n2t = jnp.where(shift, t1, t2)
+        n2v = jnp.where(shift, v1, v2)
+        n3t = jnp.where(shift2, t2, t3)
+        n3v = jnp.where(shift2, v2, v3)
+        new_hist = jnp.stack([n1t, n2t, n3t, n1v, n2v, n3v], axis=1)
+        return new_hist, (out_t, out_v)
+
+    B = ll.shape[0]
+    init = jnp.tile(jnp.array([0, 1, 2, 0, 0, 0], jnp.int32), (B, 1))
+    fin, (tag, val) = jax.lax.scan(
+        step, init, (ll.T, ofv.T, is_real.T))
+    return (tag.T, val.T, fin[:, 0:3], fin[:, 3:6])
+
+
+def apply_hist(tag, val, hist):
+    """Concrete values for symbolic (tag, val) rows given the incoming
+    history `hist` (..., 3): hist[tag] - val, or val when tag == 3."""
+    picked = jnp.take_along_axis(hist, jnp.minimum(tag, 2), axis=-1)
+    return jnp.where(tag == 3, val, picked - val)
+
+
+def compose_hist(trans_tag, trans_val, hist):
+    """The outgoing history of a group given its incoming history."""
+    return apply_hist(trans_tag, trans_val, hist)

@@ -105,6 +105,14 @@ def get_lib():
     lib.zt_huff_encode_stream.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_fse_parse_packed.restype = ctypes.c_int64
+    lib.zt_fse_parse_packed.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_huff_parse.restype = ctypes.c_int64
+    lib.zt_huff_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -428,3 +436,46 @@ def fse_sim_bits(codes, delta_nb_bits, delta_find_state, next_state,
     return int(lib.zt_fse_sim_bits(
         c.ctypes.data, len(c), nb.ctypes.data, fs.ctypes.data,
         ns.ctypes.data, init_state, table_log))
+
+
+def fse_parse_packed(data: bytes, max_log: int, width: int):
+    """Parse an FSE table description straight into the packed device row.
+
+    Returns (row u32[width], acc_log, bytes_consumed), a negative int on
+    malformed input (caller re-parses on the Python path for the typed
+    error), or None when the library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    row = np.empty(width, np.uint32)
+    meta = np.empty(3, np.int32)
+    r = lib.zt_fse_parse_packed(bytes(data), len(data), max_log, width,
+                                row.ctypes.data, meta.ctypes.data)
+    if r < 0:
+        return int(r)
+    return row, int(meta[0]), int(meta[1])
+
+
+def huff_parse(data: bytes):
+    """Parse a full Huffman table description into the device-ready forms.
+
+    Returns (lut u16[2048], bnd i32[16], syms i32[64], max_bits, nranks,
+    bytes_consumed), a negative int on malformed input, or None when the
+    library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    lut = np.empty(2048, np.uint16)
+    bnd = np.empty(16, np.int32)
+    syms = np.empty(64, np.int32)
+    meta = np.empty(3, np.int32)
+    r = lib.zt_huff_parse(bytes(data), len(data), lut.ctypes.data,
+                          bnd.ctypes.data, syms.ctypes.data,
+                          meta.ctypes.data)
+    if r < 0:
+        return int(r)
+    return lut, bnd, syms, int(meta[0]), int(meta[1]), int(meta[2])

@@ -794,4 +794,222 @@ int64_t zt_huff_encode_stream(const uint8_t* data, int64_t n,
     return w.len;
 }
 
+// ---------------------------------------------------------------------------
+// Framer hot-path parsers (host block walk)
+// ---------------------------------------------------------------------------
+// The batch framer spends most of its host time parsing entropy-table
+// descriptions (oracle/fse.py::read_probabilities, oracle/huff0.py::
+// read_weights + build_table_from_weights + ops/huffman.py::
+// huff_boundary_rows — profiled at ~75% of prepare()). These mirrors emit
+// the device-ready packed rows directly. Any malformed input returns a
+// negative code and the caller re-parses on the exact-typed-error Python
+// path, so error taxonomy parity is preserved.
+
+struct FwdBits {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;  // bits consumed
+};
+
+static inline int64_t fwd_get(FwdBits* f, int n) {
+    // LSB-first forward read (utils/bitio.py BitReader). Reads beyond the
+    // end return zeros; callers check f->pos <= len*8 afterwards.
+    if (n == 0) return 0;
+    int64_t start = f->pos;
+    f->pos += n;
+    int64_t lo = start >> 3;
+    uint64_t window = 0;
+    if (lo < f->len) {
+        int64_t avail = f->len - lo;
+        memcpy(&window, f->data + lo, avail > 8 ? 8 : (size_t)avail);
+    }
+    return (int64_t)((window >> (start & 7)) & ((1ULL << n) - 1));
+}
+
+// Parse an FSE table description (oracle/fse.py::read_probabilities:
+// low-threshold trick + 2-bit zero-run escape, fse_decoder.rs:224-307).
+// probs must hold >= 300 entries. meta out: {acc_log, nprobs,
+// bytes_consumed}. Returns 0 or a negative error.
+static int64_t fse_read_probs(const uint8_t* data, int64_t len,
+                              int32_t max_log, int32_t* probs,
+                              int32_t* meta) {
+    FwdBits f = {data, len, 0};
+    int acc_log = (int)fwd_get(&f, 4) + 5;
+    if (acc_log > max_log) return -1;
+    int64_t remaining = (int64_t)1 << acc_log;
+    int n = 0;
+    while (remaining > 0) {
+        int bits = 64 - __builtin_clzll((uint64_t)(remaining + 1));
+        int64_t val = fwd_get(&f, bits);
+        int64_t lower_mask = ((int64_t)1 << (bits - 1)) - 1;
+        int64_t threshold = ((int64_t)1 << bits) - 1 - (remaining + 1);
+        if ((val & lower_mask) < threshold) {
+            f.pos -= 1;
+            val &= lower_mask;
+        } else if (val > lower_mask) {
+            val -= threshold;
+        }
+        int64_t prob = val - 1;
+        remaining -= prob < 0 ? -prob : prob;
+        probs[n++] = (int32_t)prob;
+        if (prob == 0) {
+            int64_t rep = fwd_get(&f, 2);
+            for (;;) {
+                if (n + rep > 290) return -2;
+                for (int64_t k = 0; k < rep; k++) probs[n++] = 0;
+                if (rep != 3) break;
+                rep = fwd_get(&f, 2);
+            }
+        }
+        if (n > 256) return -2;
+    }
+    if (remaining < 0) return -3;
+    f.pos += (8 - (f.pos & 7)) & 7;  // descriptions occupy whole bytes
+    if (f.pos > len * 8) return -4;  // overread (NotEnoughBytes on re-parse)
+    meta[0] = acc_log;
+    meta[1] = n;
+    meta[2] = (int32_t)(f.pos >> 3);
+    return 0;
+}
+
+// Parse an FSE table description and emit the packed device row
+// (symbol | num_bits << 8 | baseline << 16 per entry, ops/sequence.py::
+// pack_fse_table layout). row must hold `width` u32 (zeroed here).
+// meta out: {acc_log, bytes_consumed}.
+
+int64_t zt_fse_parse_packed(const uint8_t* data, int64_t len,
+                            int32_t max_log, int32_t width, uint32_t* row,
+                            int32_t* meta) {
+    int32_t probs[300];
+    int32_t m[3];
+    int64_t r = fse_read_probs(data, len, max_log, probs, m);
+    if (r < 0) return r;
+    int32_t acc_log = m[0];
+    int64_t size = (int64_t)1 << acc_log;
+    if (size > width) return -5;
+    uint8_t sym[512];
+    uint16_t base[512];
+    uint8_t nb[512];
+    r = zt_fse_build_table(probs, m[1], acc_log, sym, base, nb);
+    if (r < 0) return -6;
+    memset(row, 0, (size_t)width * 4);
+    for (int64_t i = 0; i < size; i++)
+        row[i] = (uint32_t)sym[i] | ((uint32_t)nb[i] << 8)
+               | ((uint32_t)base[i] << 16);
+    meta[0] = acc_log;
+    meta[1] = m[2];
+    return 0;
+}
+
+// Full Huffman table-description parse: weights (direct nibbles or
+// FSE-interleaved two-state decode, huff0_decoder.rs:132-278), canonical
+// LUT build (:284-377), and the Pallas boundary rows (ops/huffman.py::
+// huff_boundary_rows). Outputs: lut 2048 u16 (symbol | num_bits << 8),
+// bnd 16 i32, syms 64 i32, meta {max_bits, nranks, bytes_consumed}.
+
+int64_t zt_huff_parse(const uint8_t* data, int64_t len, uint16_t* lut,
+                      int32_t* bnd, int32_t* syms, int32_t* meta) {
+    if (len < 1) return -1;
+    int32_t weights[300];
+    int nw = 0;
+    int64_t consumed;
+    int header = data[0];
+    if (header >= 128) {
+        int n = header - 127;
+        int64_t nbytes = (n + 1) / 2;
+        if (len < 1 + nbytes) return -1;
+        for (int i = 0; i < n; i++) {
+            uint8_t b = data[1 + i / 2];
+            weights[nw++] = (i % 2 == 0) ? (b >> 4) : (b & 0xF);
+        }
+        consumed = 1 + nbytes;
+    } else {
+        int64_t comp = header;
+        if (len < 1 + comp) return -1;
+        const uint8_t* payload = data + 1;
+        int32_t probs[300];
+        int32_t m[3];
+        int64_t r = fse_read_probs(payload, comp, 6, probs, m);
+        if (r < 0) return -2;
+        uint8_t sym[64];
+        uint16_t base[64];
+        uint8_t nb[64];
+        if (zt_fse_build_table(probs, m[1], m[0], sym, base, nb) < 0)
+            return -2;
+        RevBits rb;
+        if (rev_init(&rb, payload + m[2], comp - m[2]) != 0) return -2;
+        int acc = m[0];
+        uint32_t s1 = (uint32_t)rev_get(&rb, acc);
+        uint32_t s2 = (uint32_t)rev_get(&rb, acc);
+        for (;;) {
+            weights[nw++] = sym[s1];
+            s1 = base[s1] + (uint32_t)rev_get(&rb, nb[s1]);
+            if (rb.pos < 0) { weights[nw++] = sym[s2]; break; }
+            weights[nw++] = sym[s2];
+            s2 = base[s2] + (uint32_t)rev_get(&rb, nb[s2]);
+            if (rb.pos < 0) { weights[nw++] = sym[s1]; break; }
+            if (nw > 255) return -3;
+        }
+        if (nw > 255) return -3;
+        consumed = 1 + comp;
+    }
+
+    // build_table_from_weights (oracle/huff0.py:93-140)
+    int64_t wsum = 0;
+    for (int i = 0; i < nw; i++) {
+        if (weights[i] > 11) return -4;
+        if (weights[i] > 0) wsum += (int64_t)1 << (weights[i] - 1);
+    }
+    if (wsum == 0) return -4;
+    int max_bits = 64 - __builtin_clzll((uint64_t)wsum);  // bit_length
+    if (max_bits > 11) return -4;
+    int64_t left_over = ((int64_t)1 << max_bits) - wsum;
+    if (left_over & (left_over - 1)) return -4;
+    int last_weight = 64 - __builtin_clzll((uint64_t)left_over);
+    weights[nw++] = last_weight;
+
+    int64_t size = (int64_t)1 << max_bits;
+    int64_t rank_count[14] = {0};
+    for (int i = 0; i < nw; i++) rank_count[weights[i]]++;
+    int64_t rank_idx[14] = {0};
+    int64_t next_idx = 0;
+    for (int w = 1; w <= max_bits; w++) {
+        rank_idx[w] = next_idx;
+        next_idx += rank_count[w] * ((int64_t)1 << (w - 1));
+    }
+    if (next_idx != size) return -4;
+    memset(lut, 0, 2048 * 2);
+    for (int s = 0; s < nw; s++) {
+        int w = weights[s];
+        if (w == 0) continue;
+        int64_t span = (int64_t)1 << (w - 1);
+        int64_t start = rank_idx[w];
+        uint16_t v = (uint16_t)s | ((uint16_t)(max_bits + 1 - w) << 8);
+        for (int64_t k = 0; k < span; k++) lut[start + k] = v;
+        rank_idx[w] += span;
+    }
+
+    // boundary rows (ops/huffman.py::huff_boundary_rows)
+    for (int i = 0; i < 16; i++) bnd[i] = 0xFFFF;
+    memset(syms, 0, 64 * 4);
+    int64_t idx = 0;
+    int nranks = 0;
+    for (int wt = 1; wt <= 12; wt++) {
+        bnd[wt] = (int32_t)(idx | ((int64_t)nranks << 16));
+        int64_t span = (int64_t)1 << (wt - 1);
+        while (idx < size && (lut[idx] >> 8) == (uint16_t)(max_bits + 1 - wt)) {
+            if (nranks >= 256) return -4;
+            syms[nranks >> 2] |= (int32_t)(lut[idx] & 0xFF)
+                                 << ((nranks & 3) * 8);
+            nranks++;
+            idx += span;
+        }
+    }
+    if (idx != size) return -4;
+    meta[0] = max_bits;
+    meta[1] = nranks;
+    meta[2] = (int32_t)consumed;
+    return 0;
+}
+
 }  // extern "C"

@@ -47,6 +47,55 @@ def make_corpus(total_mb: int = 64, frame_kb: int = 128, seed: int = 0):
     return [blob[i:i + fk] for i in range(0, len(blob), fk)]
 
 
+def bench_longframe(mb: int = 16) -> dict:
+    """Single multi-MB frame through the device chained (windowed) path —
+    the enwik-style long-stream scenario the round-1 bench avoided."""
+    import zstandard
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    data = b"".join(make_corpus(mb, seed=3))
+    z = zstandard.ZstdCompressor(level=3, write_checksum=False).compress(data)
+    dec = BatchDecoder(verify_checksums=False)
+    batch = dec.prepare([z])
+    meta = batch.metas[0]
+    staged = dec.stage(batch)
+    outputs, out_len, ok = dec.run_device(batch, staged)
+    r0 = meta.rows[0] if meta.rows else 0
+    correct = (bool(ok[r0]) and len(meta.rows) > 1 and not meta.fallback
+               and outputs[r0][:len(data)].tobytes() == data)
+    runs = 2
+    t0 = time.time()
+    for _ in range(runs):
+        dec.run_device(batch, staged, pull_outputs=False)
+    dt = (time.time() - t0) / runs
+    return {"longframe_gbps": round(len(data) / dt / 1e9, 4),
+            "longframe_groups": len(meta.rows),
+            "longframe_correct": correct}
+
+
+def bench_encode(mb: int = 8) -> dict:
+    """Batched device-entropy encode throughput (BatchEncoder)."""
+    import zstandard
+
+    from zstd_tpu.models.batch_encoder import BatchEncoder
+
+    payloads = make_corpus(mb, seed=5)
+    enc = BatchEncoder()
+    outs = enc.compress_frames(payloads)  # warmup + compile
+    dctx = zstandard.ZstdDecompressor()
+    correct = all(
+        dctx.decompress(o, max_output_size=len(p) + 64) == p
+        for o, p in zip(outs, payloads))
+    t0 = time.time()
+    enc.compress_frames(payloads)
+    dt = time.time() - t0
+    n = sum(len(p) for p in payloads)
+    return {"encode_mbps": round(n / dt / 1e6, 2),
+            "encode_ratio": round(sum(len(o) for o in outs) / n, 4),
+            "encode_correct": correct}
+
+
 def main():
     from zstd_tpu.utils.platform import enable_compile_cache
 
@@ -55,6 +104,7 @@ def main():
     # on one v5e chip: bigger batches amortize the per-bucket fixed costs,
     # 256 MiB gains nothing further
     total_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    scenarios = sys.argv[2] if len(sys.argv) > 2 else "all"
     payloads = make_corpus(total_mb)
     try:
         import zstandard
@@ -101,6 +151,7 @@ def main():
     t_device = (time.time() - t0) / runs
 
     gbps = n_bytes / t_device / 1e9
+    e2e = n_bytes / (t_device + t_prepare) / 1e9
     result = {
         "metric": "batched_decode_throughput",
         "value": round(gbps, 4),
@@ -112,7 +163,17 @@ def main():
         "device_s": round(t_device, 3),
         "host_prepare_s": round(t_prepare, 3),
         "h2d_upload_s": round(t_upload, 3),
+        "end_to_end_gbps": round(e2e, 4),
     }
+    if scenarios == "all":
+        try:
+            result.update(bench_longframe())
+        except Exception as e:
+            result["longframe_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result.update(bench_encode())
+        except Exception as e:
+            result["encode_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

@@ -38,7 +38,12 @@ def main():
 
     batch = dec.prepare(all_frames)
     _, _, ok = dec.run_device(batch)
-    print("device-ok:", int(np.asarray(ok).sum()), "/", len(all_frames))
+    # ok is per batch ROW; a chained frame is ok iff its first row is
+    n_ok = sum(1 for m in batch.metas
+               if m.rows and bool(ok[m.rows[0]]))
+    n_chained = sum(1 for m in batch.metas if len(m.rows) > 1)
+    print(f"device-ok: {n_ok} / {len(all_frames)} "
+          f"({n_chained} chained)")
 
     fails = 0
     for fi, (start, n) in enumerate(file_spans):

@@ -45,6 +45,22 @@ def test_streaming_bounded_memory_bit_exact():
 
 
 def test_device_single_big_frame():
+    """A frame beyond the group cap must decode on the DEVICE chained path
+    (windowed group execution), not the host fallback (round-1 weak #3)."""
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
     data = wiki_like(2 << 20)
     z = zstandard.ZstdCompressor(level=6).compress(data)
+
+    dec = BatchDecoder()
+    batch = dec.prepare([z])
+    meta = batch.metas[0]
+    assert meta.ok and not meta.fallback
+    assert len(meta.rows) > 1, "frame should have split into a group chain"
+    outputs, out_len, ok = dec.run_device(batch)
+    assert bool(ok[meta.rows[0]]), "device chained decode flagged the frame"
+    got = outputs[meta.rows[0]][:int(out_len[meta.rows[0]])].tobytes()
+    assert got == data
+
+    # and through the public API
     assert decode_all_device(z) == data

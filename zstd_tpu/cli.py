@@ -26,38 +26,72 @@ _LEVELS = {
 }
 
 
-def _progress(done: int, total: int, t0: float) -> None:
-    dt = max(time.time() - t0, 1e-9)
-    pct = 100.0 * done / total if total else 100.0
-    sys.stderr.write(f"\r{pct:5.1f}%  {done / 1e6:8.1f} MB  "
-                     f"{done / dt / 1e6:7.1f} MB/s")
-    sys.stderr.flush()
+class ProgressReader:
+    """Read wrapper that reports live progress at ~8 Hz (the reference's
+    indicatif ProgressMonitor, cli/src/progress.rs:14-151)."""
+
+    def __init__(self, f, total: int, label: str, stream=None):
+        self.f = f
+        self.total = total
+        self.label = label
+        self.done = 0
+        self.t0 = time.time()
+        self._last = 0.0
+        self.stream = stream if stream is not None else sys.stderr
+
+    def read(self, n: int = -1) -> bytes:
+        chunk = self.f.read(n)
+        self.done += len(chunk)
+        now = time.time()
+        if now - self._last >= 0.125 and self.stream.isatty():
+            self._last = now
+            dt = max(now - self.t0, 1e-9)
+            pct = 100.0 * self.done / self.total if self.total else 100.0
+            self.stream.write(
+                f"\r{self.label}: {pct:5.1f}%  {self.done / 1e6:8.1f} MB  "
+                f"{self.done / dt / 1e6:7.1f} MB/s")
+            self.stream.flush()
+        return chunk
+
+    def finish(self) -> None:
+        if self.stream.isatty():
+            self.stream.write("\r" + " " * 60 + "\r")
+            self.stream.flush()
 
 
 def cmd_compress(args) -> int:
     out_path = args.output or args.input + ".zst"
-    with open(args.input, "rb") as f:
-        data = f.read()
+    total = os.path.getsize(args.input)
     t0 = time.time()
     level = _LEVELS[args.level]
     if getattr(args, "tpu", False):
+        # device batching needs the whole payload resident
+        with open(args.input, "rb") as f:
+            data = f.read()
         from zstd_tpu.common.config import CodecConfig
         from zstd_tpu.encoding.device_matcher import DeviceMatcher
         from zstd_tpu.models.batch_encoder import BatchEncoder
 
         enc = BatchEncoder(CodecConfig(level=level), matcher=DeviceMatcher())
         (z,) = enc.compress_frames([data])
+        with open(out_path, "wb") as f:
+            f.write(z)
+        n_in, n_out = len(data), len(z)
     else:
-        from zstd_tpu.encoding.frame_enc import compress_to_vec
+        # stream file -> file in bounded memory with live progress
+        # (main.rs:123-150 io::copy analog)
+        from zstd_tpu.encoding.frame_enc import compress as compress_stream
 
-        z = compress_to_vec(data, level)
+        with open(args.input, "rb") as src, open(out_path, "wb") as dst:
+            prog = ProgressReader(src, total, "compress")
+            compress_stream(prog, dst, level)
+            prog.finish()
+            n_in, n_out = prog.done, dst.tell()
     dt = time.time() - t0
-    with open(out_path, "wb") as f:
-        f.write(z)
-    ratio = len(z) / max(1, len(data))
+    ratio = n_out / max(1, n_in)
     sys.stderr.write(
-        f"{args.input}: {len(data)} -> {len(z)} bytes "
-        f"(ratio {ratio:.3f}) in {dt:.2f}s ({len(data) / max(dt, 1e-9) / 1e6:.1f} MB/s)"
+        f"{args.input}: {n_in} -> {n_out} bytes "
+        f"(ratio {ratio:.3f}) in {dt:.2f}s ({n_in / max(dt, 1e-9) / 1e6:.1f} MB/s)"
         f" -> {out_path}\n")
     return 0
 
@@ -67,23 +101,64 @@ def cmd_decompress(args) -> int:
     if out_path is None:
         out_path = (args.input[:-4] if args.input.endswith(".zst")
                     else args.input + ".out")
-    with open(args.input, "rb") as f:
-        data = f.read()
+    total = os.path.getsize(args.input)
     t0 = time.time()
     if args.tpu:
+        with open(args.input, "rb") as f:
+            data = f.read()
         from zstd_tpu.models.splitter import decode_all_device
 
         out = decode_all_device(data)
+        with open(out_path, "wb") as f:
+            f.write(out)
+        n_in, n_out = len(data), len(out)
     else:
-        from zstd_tpu.oracle import decode_all
+        # multi-frame streaming decode in bounded memory (window-retaining
+        # drain, frame_decoder.rs:306-374 + decode_buffer.rs:182-218)
+        from zstd_tpu.common.errors import NotEnoughBytes, SkipFrame
+        from zstd_tpu.oracle.decoder import (BlockDecodingStrategy,
+                                             FrameDecoder)
 
-        out = decode_all(data)
+        n_out = 0
+        with open(args.input, "rb") as src0, open(out_path, "wb") as dst:
+            src = ProgressReader(src0, total, "decompress")
+            dec = FrameDecoder()
+            while True:
+                try:
+                    dec.init(src)
+                except SkipFrame as sf:
+                    if len(src.read(sf.length)) < sf.length:
+                        raise NotEnoughBytes(sf.length, 0,
+                                             "skippable frame content")
+                    continue
+                except NotEnoughBytes:
+                    break  # end of stream
+                while True:
+                    done = dec.decode_blocks(
+                        src, BlockDecodingStrategy.UPTO_BYTES,
+                        amount=1 << 20)
+                    if done:
+                        break
+                    chunk = dec.scratch.buffer.drain_to_window_size()
+                    if chunk:
+                        dst.write(chunk)
+                        n_out += len(chunk)
+                tail = dec.collect()
+                dst.write(tail)
+                n_out += len(tail)
+                if src.done >= total:
+                    break
+            src.finish()
+            n_in = src.done
+            if n_in < total:
+                from zstd_tpu.common.errors import ZstdError
+
+                raise ZstdError(
+                    f"{total - n_in} trailing bytes are not a frame")
     dt = time.time() - t0
-    with open(out_path, "wb") as f:
-        f.write(out)
     sys.stderr.write(
-        f"{args.input}: {len(data)} -> {len(out)} bytes in {dt:.2f}s "
-        f"({len(out) / max(dt, 1e-9) / 1e6:.1f} MB/s) -> {out_path}\n")
+        f"{args.input}: {n_in} -> {n_out} bytes in {dt:.2f}s "
+        f"({n_out / max(dt, 1e-9) / 1e6:.1f} MB/s) -> {out_path}\n")
     return 0
 
 

@@ -32,7 +32,10 @@ from zstd_tpu.ops.huffman import decode_huffman_lanes
 from zstd_tpu.ops.pallas_execute import MAX_SMEM_SEQS, execute_sequences_pallas
 from zstd_tpu.ops.pallas_huffman import decode_huffman_lanes_pallas
 from zstd_tpu.ops.pallas_sequence import decode_sequence_lanes_pallas
-from zstd_tpu.ops.sequence import decode_sequence_lanes, resolve_offsets
+from zstd_tpu.ops.pallas_execute import execute_window_pallas
+from zstd_tpu.ops.sequence import (apply_hist, decode_sequence_lanes,
+                                   resolve_offsets,
+                                   resolve_offsets_symbolic)
 from zstd_tpu.utils.platform import use_pallas_kernels
 from zstd_tpu.utils.xxhash64 import xxhash64 as _py_xxh64
 
@@ -113,8 +116,21 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 4096):
     groups = {}
     for i, w in enumerate(widths):
         groups.setdefault(_pow2(w, q=1), []).append(i)
+    # Coalesce small width groups upward: a bucket launch costs ~30-50 ms of
+    # XLA gather/scatter/dispatch regardless of size (r2 stage profile), so
+    # a width group too small to fill a bucket rides in the next-wider one
+    # (its streams pad to that width; per-step kernel cost is flat in B).
+    keys = sorted(groups)
+    merged = {}
+    pending = []
+    for k, w in enumerate(keys):
+        pending.extend(groups[w])
+        is_last = k == len(keys) - 1
+        if len(pending) >= 512 or is_last:
+            merged[w] = pending
+            pending = []
     out = []
-    for w, idxs in sorted(groups.items()):
+    for w, idxs in sorted(merged.items()):
         cap = max(PALLAS_VMEM_BUDGET // (w + overhead), 1)
         b_max = 128
         while b_max * 2 <= min(cap, bmax):
@@ -140,9 +156,10 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
                  lit_full, frame_ok, width: int, max_symbols: int,
                  table_width: int = 2048, syms_rows: int = 64,
                  use_pallas: bool = False):
-    # gather this bucket's lanes on device (idx rows, first `width` cols)
-    cols = jnp.arange(width, dtype=jnp.int32)
-    streams = streams_full[idx[:, None], cols[None, :]]
+    # gather this bucket's lanes on device: static column slice first so
+    # XLA lowers a ROW gather (1.6 G rows/s) instead of an element gather
+    # (~68 M elem/s — measured to dominate merged buckets)
+    streams = jnp.take(streams_full[:, :width], idx, axis=0)
     pos = pos_full[idx]
     tid = tid_full[idx]
     nsym = nsym_full[idx]
@@ -159,11 +176,29 @@ def _huff_bucket(streams_full, pos_full, tid_full, tables, maxbits,
         lits, ok = decode_huffman_lanes(streams, pos, tid,
                                         tables[:, :table_width], maxbits,
                                         nsym, max_symbols)
-    lit_w = lit_full.shape[1]
+    # lit_full is PACKED (Bf, lit_w/4) i32, 4 bytes per element: scatter
+    # whole words (4x fewer scattered elements — element scatters are the
+    # stage's real cost, ~13-70 M elem/s). Each lane's bytes are aligned to
+    # its destination word phase on-device (cheap vector selects), then
+    # word-merged with scatter-ADD: every output byte has exactly one
+    # writer (streams/host prefills are byte-disjoint), so add == merge.
     j = jnp.arange(max_symbols, dtype=jnp.int32)[None, :]
-    dst_col = dst_off[:, None] + j
-    dst_col = jnp.where(j < nsym[:, None], dst_col, lit_w)
-    lit_full = lit_full.at[dst_frame[:, None], dst_col].set(lits, mode="drop")
+    lits_i = jnp.where(j < nsym[:, None], lits.astype(jnp.int32), 0)
+    phase = dst_off & 3
+    padded = jnp.pad(lits_i, ((0, 0), (4, 4)))
+    a = padded[:, 4:4 + max_symbols + 4]
+    for s in (1, 2, 3):
+        a = jnp.where(phase[:, None] == s,
+                      padded[:, 4 - s:4 - s + max_symbols + 4], a)
+    words = (a[:, 0::4] | (a[:, 1::4] << 8) | (a[:, 2::4] << 16)
+             | (a[:, 3::4] << 24))
+    S4 = words.shape[1]
+    wj = jnp.arange(S4, dtype=jnp.int32)[None, :]
+    n_words = (phase + nsym + 3) >> 2
+    dst_word = jnp.where(wj < n_words[:, None], (dst_off >> 2)[:, None] + wj,
+                         lit_full.shape[1])
+    lit_full = lit_full.at[dst_frame[:, None], dst_word].add(words,
+                                                             mode="drop")
     frame_ok = frame_ok.at[dst_frame].min(ok)
     return lit_full, frame_ok
 
@@ -184,8 +219,7 @@ def _seq_bucket(streams_full, pos_full, n_full, ll_tid_full, of_tid_full,
     ll_tables = ll_tables[:, :table_widths[0]]
     of_tables = of_tables[:, :table_widths[1]]
     ml_tables = ml_tables[:, :table_widths[2]]
-    cols = jnp.arange(width, dtype=jnp.int32)
-    streams = streams_full[idx[:, None], cols[None, :]]
+    streams = jnp.take(streams_full[:, :width], idx, axis=0)
     pos = pos_full[idx]
     n = n_full[idx]
     ll_tid = ll_tid_full[idx]
@@ -258,11 +292,63 @@ def _resolve(ll_full, ml_full, of_full, is_real, init_hist):
     return offsets, out_len, ok, nseq
 
 
+@jax.jit
+def _resolve_chained(ll_full, ml_full, of_full, is_real, init_hist, cont):
+    """Repeat-offset resolution when the batch holds chained block groups.
+
+    Every row resolves symbolically in parallel; a tiny row-ordered scan
+    composes each chain's incoming history (chains are contiguous row
+    runs, `cont` marks continuation rows), then offsets materialize."""
+    tag, val, tt, tv = resolve_offsets_symbolic(ll_full, of_full, is_real)
+
+    def step(carry, xs):
+        t, v, hist_r, c = xs
+        h_in = jnp.where(c, carry, hist_r)
+        return apply_hist(t, v, h_in), h_in
+
+    _, hist_in = jax.lax.scan(
+        step, jnp.zeros(3, jnp.int32), (tt, tv, init_hist, cont))
+    offsets = apply_hist(tag, val, hist_in)
+    ok = jnp.all(~is_real | (offsets > 0), axis=1)
+    out_len = jnp.sum(ll_full + ml_full, axis=1)
+    S = ll_full.shape[1]
+    act = (ll_full + ml_full) > 0
+    nseq = jnp.max(jnp.where(act, jnp.arange(S, dtype=jnp.int32)[None, :] + 1,
+                             0), axis=1)
+    return offsets, out_len, ok, nseq
+
+
+@functools.partial(jax.jit, static_argnames=("gw", "lw", "W", "interpret"))
+def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
+                      acc, written, r, gw: int, lw: int, W: int,
+                      interpret: bool = False):
+    """Execute one block group of a chained frame: slice the group row,
+    window the accumulator, run the aliased exec kernel, append."""
+    S = ll_full.shape[1]
+    row = lambda a: jax.lax.dynamic_slice(a, (r, 0), (1, S))[0]
+    lits = _unpack_words(
+        jax.lax.dynamic_slice(lit_full, (r, 0), (1, lw // 4)))[0]
+    olen = out_len_all[r]
+    win = jax.lax.dynamic_slice(acc, (written - W,), (W,))
+    out_r, ok_r = execute_window_pallas(
+        row(ll_full), row(ml_full), row(offsets), lits, olen, win,
+        written - W, out_width=gw, window=W, interpret=interpret)
+    acc = jax.lax.dynamic_update_slice(acc, out_r, (written,))
+    return acc, written + olen, ok_r
+
+
+def _unpack_words(w):
+    """(B, L4) i32 packed bytes -> (B, 4*L4) u8 (little-endian order)."""
+    parts = jnp.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255,
+                       (w >> 24) & 255], axis=-1)
+    return parts.reshape(w.shape[0], -1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def _exec_bucket(ll_full, ml_full, offsets, lit_full, out_len, idx,
                  out_width: int):
     return execute_sequences_lanes(
-        ll_full[idx], ml_full[idx], offsets[idx], lit_full[idx],
+        ll_full[idx], ml_full[idx], offsets[idx], _unpack_words(lit_full[idx]),
         out_len[idx], out_width)
 
 
@@ -272,10 +358,10 @@ def _exec_bucket_pallas(ll_full, ml_full, offsets, lit_full, out_len, idx,
                         out_width: int, lit_width: int = 0,
                         interpret: bool = False):
     lits = lit_full[idx]
-    if lit_width and lit_width < lits.shape[1]:
-        lits = lits[:, :lit_width]
+    if lit_width and lit_width // 4 < lits.shape[1]:
+        lits = lits[:, :lit_width // 4]
     return execute_sequences_pallas(
-        ll_full[idx], ml_full[idx], offsets[idx], lits,
+        ll_full[idx], ml_full[idx], offsets[idx], _unpack_words(lits),
         out_len[idx], out_width, interpret=interpret)
 
 
@@ -323,24 +409,61 @@ class BatchDecoder:
             framer.add_frame(bytes(f), i)
         return framer.build()
 
-    def stage(self, batch: DeviceBatch) -> dict:
+    def stage(self, batch: DeviceBatch, mesh=None) -> dict:
         """Upload all batch arrays to device once; returns the staged dict.
 
         Also precomputes the bucket plans so repeated runs (serving) only
         ship tiny index arrays per call.
+
+        With `mesh` (a 1-axis jax.sharding.Mesh), every lane/frame-batch
+        array shards over its leading dim (frames partition across devices;
+        entropy tables replicate — SURVEY.md §5 distributed backend) and
+        the SAME bucketed pipeline runs SPMD under GSPMD partitioning.
         """
+        # leading-dim batch arrays (lane or frame rows) vs replicated tables
+        _LANE = ("huff_streams", "huff_pos", "huff_tid", "huff_nsym",
+                 "huff_dst_frame", "huff_dst_off", "seq_streams", "seq_pos",
+                 "seq_n", "ll_tid", "of_tid", "ml_tid", "seq_dst_frame",
+                 "seq_dst_off", "seq_lit_total", "seq_trail_slot")
+        _TABLES = ("huff_tables", "huff_maxbits", "huff_bnd", "huff_syms",
+                   "ll_tables", "of_tables", "ml_tables", "ll_logs",
+                   "of_logs", "ml_logs")
+        _FRAME = ("ll_base", "ml_base", "of_base", "is_real")
+
+        host = {name: getattr(batch, name) for name in _LANE + _TABLES + _FRAME}
+        # literal bytes ship packed 4-per-i32 (the huffman scatter and exec
+        # gathers then move 4x fewer elements); the u8->i32 view is free
+        host["lit_base"] = batch.lit_base.view("<i4")
+        host["init_hist"] = batch.frame_hist
+        cont = np.zeros(batch.lit_base.shape[0], bool)
+        for m in batch.metas:
+            for k, r in enumerate(m.rows):
+                cont[r] = k > 0
+        host["row_cont"] = cont
+
         dev = {}
-        for name in ("huff_streams", "huff_pos", "huff_tid", "huff_tables",
-                     "huff_maxbits", "huff_bnd", "huff_syms",
-                     "huff_nsym", "huff_dst_frame",
-                     "huff_dst_off", "seq_streams", "seq_pos", "seq_n",
-                     "ll_tid", "of_tid", "ml_tid", "ll_tables", "of_tables",
-                     "ml_tables", "ll_logs", "of_logs", "ml_logs",
-                     "seq_dst_frame", "seq_dst_off", "seq_lit_total",
-                     "seq_trail_slot", "lit_base", "ll_base", "ml_base",
-                     "of_base", "is_real"):
-            dev[name] = jnp.asarray(getattr(batch, name))
-        dev["init_hist"] = jnp.asarray(batch.frame_hist)
+        if mesh is None:
+            for name, v in host.items():
+                dev[name] = jnp.asarray(v)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n = mesh.shape[axis]
+            fills = {"huff_pos": -1, "seq_pos": -1,
+                     "seq_trail_slot": 1 << 30}
+            for name, v in host.items():
+                v = np.asarray(v)
+                if name in _TABLES:
+                    spec = P(*([None] * v.ndim))
+                else:
+                    rem = (-v.shape[0]) % n
+                    if rem:
+                        pad = np.full((rem,) + v.shape[1:],
+                                      fills.get(name, 0), v.dtype)
+                        v = np.concatenate([v, pad], axis=0)
+                    spec = P(axis, *([None] * (v.ndim - 1)))
+                dev[name] = jax.device_put(v, NamedSharding(mesh, spec))
 
         pallas = use_pallas_kernels()
         lo = 128 if pallas else 4
@@ -388,8 +511,8 @@ class BatchDecoder:
         from zstd_tpu.common.trace import scope, vprint
 
         d = staged if staged is not None else self.stage(batch)
-        Bf = batch.lit_base.shape[0]
-        frame_inert = Bf - 1
+        Bf = d["lit_base"].shape[0]   # >= batch rows (mesh-padded)
+        frame_inert = batch.lit_base.shape[0] - 1
         lit_full = d["lit_base"]
         frame_ok = jnp.ones(Bf, bool)
         vprint(f"run_device: {Bf - 1} frames, "
@@ -446,9 +569,15 @@ class BatchDecoder:
           _stage_sync(f"seq {w}x{c} B={len(idx)}", ll_full)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
+        chained = [m for m in batch.metas if len(m.rows) > 1]
         with scope("offset_resolution"):
-            offsets, out_len, res_ok, nseq = _resolve(
-                ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
+            if chained:
+                offsets, out_len, res_ok, nseq = _resolve_chained(
+                    ll_full, ml_full, of_full, d["is_real"],
+                    d["init_hist"], d["row_cont"])
+            else:
+                offsets, out_len, res_ok, nseq = _resolve(
+                    ll_full, ml_full, of_full, d["is_real"], d["init_hist"])
         _stage_sync("resolve", out_len)
         ok_dev = frame_ok & res_ok
 
@@ -460,9 +589,11 @@ class BatchDecoder:
         # the records fit its SMEM block; XLA pointer-doubling otherwise.
         bound_h = batch.out_len
         nseq_bound = batch.frame_nseq
-        lit_len_h = [m.lit_len for m in batch.metas] + [0]
+        lit_len_h = list(batch.row_lit_len)
         outputs = [None] * Bf
-        live = list(range(frame_inert))  # skip the inert frame row
+        chain_rows = {r for m in chained for r in m.rows}
+        # skip the inert frame row and chained-group rows (windowed path)
+        live = [i for i in range(frame_inert) if i not in chain_rows]
         # Pallas exec eligibility: sequence records fit SMEM and the
         # out + literal blocks fit VMEM (no-FCS multi-block frames can
         # carry bounds far above their true size).
@@ -516,7 +647,7 @@ class BatchDecoder:
                     out_b, exec_ok = _exec_bucket_pallas(
                         ll_full, ml_full, offsets, lit_full, out_len,
                         jnp.asarray(idx), out_width=w,
-                        lit_width=min(lw, lit_full.shape[1]))
+                        lit_width=min(lw, lit_full.shape[1] * 4))
                 else:
                     out_b, exec_ok = _exec_bucket(
                         ll_full, ml_full, offsets, lit_full, out_len,
@@ -525,12 +656,60 @@ class BatchDecoder:
             _stage_sync(f"exec {w} B={len(idx)} pl={use_pl}", out_b)
             pending.append((rows, out_b))
 
+        # --- stage 3b: chained frames — windowed group execution ---------------
+        # Groups execute in order carrying the last `W` output bytes as the
+        # kernel's aliased window prefix (decode_buffer.rs:182-218 analog).
+        # The accumulator keeps W lead zero bytes so the window slice start
+        # is never clamped.
+        chain_pend = []   # (meta, rows, acc, W, written, okm)
+        for m in chained:
+            rows = m.rows
+            if (max(int(nseq_bound[r]) for r in rows) > MAX_SMEM_SEQS
+                    or max(int(bound_h[r]) for r in rows) > (1 << 22)):
+                chain_pend.append((m, rows, None, 0, None, None))
+                continue
+            W = _pow2(max(int(m.window), 1024), lo=1024)
+            total = _pow2(sum(int(bound_h[r]) for r in rows))
+            acc = jnp.zeros(W + total, jnp.uint8)
+            written = jnp.int32(W)
+            okm = jnp.bool_(True)
+            with scope(f"lz77_chain_{len(rows)}x{W}"):
+                for r in rows:
+                    gw = _pow2(max(int(bound_h[r]), 1))
+                    lw = _pow2(max(int(lit_len_h[r]), 4), lo=4)
+                    acc, written, ok_r = _chain_group_step(
+                        ll_full, ml_full, offsets, lit_full, out_len,
+                        acc, written, jnp.int32(r), gw=gw,
+                        lw=min(lw, lit_full.shape[1] * 4), W=W,
+                        interpret=not pallas_ok)
+                    okm = okm & ok_r
+            chain_pend.append((m, rows, acc, W, written, okm))
+
         # single host sync for the whole pipeline
+        chain_scalars = [jnp.stack([w_.astype(jnp.int32),
+                                    o_.astype(jnp.int32)])
+                         for (_, _, a_, _, w_, o_) in chain_pend
+                         if a_ is not None]
         lens_ok = jnp.concatenate(
-            [out_len, ok_dev.astype(jnp.int32)])
+            [out_len, ok_dev.astype(jnp.int32)] + chain_scalars)
         lens_ok_h = np.asarray(lens_ok)
-        out_len_h = lens_ok_h[:Bf]
-        ok_h = lens_ok_h[Bf:].astype(bool)
+        out_len_h = lens_ok_h[:Bf].copy()
+        ok_h = lens_ok_h[Bf:2 * Bf].astype(bool)
+        cpos = 2 * Bf
+        for (m, rows, acc, W, written, okm) in chain_pend:
+            r0 = rows[0]
+            if acc is None:
+                ok_h[r0] = False
+                continue
+            total_h = int(lens_ok_h[cpos])
+            okm_h = bool(lens_ok_h[cpos + 1])
+            cpos += 2
+            ok_h[r0] = okm_h and all(bool(ok_h[r]) for r in rows)
+            out_len_h[r0] = total_h - W
+            if pull_outputs:
+                outputs[r0] = np.asarray(acc)[W:W + max(total_h - W, 0)]
+            else:
+                outputs[r0] = (acc, W)
         for lane in host_lanes:
             ok_h[lane] = False  # routed to the host-oracle fallback
         for rows, out_b in pending:
@@ -553,13 +732,15 @@ class BatchDecoder:
         results = []
         fallback_idx = []
         for i, meta in enumerate(batch.metas):
-            good = (meta.ok and not meta.fallback and bool(ok[i]))
+            r = meta.rows[0] if meta.rows else -1
+            good = (meta.ok and not meta.fallback and r >= 0
+                    and bool(ok[r]))
             if (good and meta.out_len >= 0
-                    and meta.out_len + meta.dict_skip != int(out_len[i])):
+                    and meta.out_len + meta.dict_skip != int(out_len[r])):
                 good = False
             data = None
             if good:
-                data = outputs[i][meta.dict_skip:int(out_len[i])].tobytes()
+                data = outputs[r][meta.dict_skip:int(out_len[r])].tobytes()
                 if self.verify_checksums and meta.checksum is not None:
                     if (_fast_xxh64(data) & 0xFFFFFFFF) != meta.checksum:
                         good = False

@@ -36,14 +36,21 @@ def _round_pow2(n: int, lo: int = 16) -> int:
     return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
 
-# Frames whose decoded size (or literal volume) exceeds this take the host
-# oracle (with the native C++ executor) instead of the batch pipeline: a
-# single huge frame would otherwise inflate every frame-indexed array and
-# the offset-resolution scan length for the whole batch, and the LZ77
-# executors degrade far past the Pallas kernel's VMEM-bounded window.
-# Streaming window execution for big frames is the round-2 design
-# (SURVEY.md §5 long-context analog).
+# Frames whose decoded size (or literal volume) exceeds this split into a
+# CHAIN of block groups, each its own batch row: entropy stages stay fully
+# batched (they are frame-size independent), repeat offsets resolve
+# symbolically per group (ops/sequence.py::resolve_offsets_symbolic), and
+# execution streams group by group carrying a window in HBM — the device
+# analog of the reference's window-retaining drain
+# (decode_buffer.rs:182-218, SURVEY.md §5 long-context analog).
 DEVICE_FRAME_CAP = 1 << 20
+# per-group caps: output upper bound and 128-aligned sequence slots (the
+# group's records must fit the exec kernel's SMEM chunking)
+GROUP_OUT_CAP = 1 << 21
+GROUP_SEQ_CAP = 24 * 1024
+# frames whose window exceeds this fall back to the host oracle (the
+# streamed exec kernel holds the window in VMEM: W + group + literals < 80MB)
+STREAM_WINDOW_CAP = 1 << 23
 
 
 @dataclasses.dataclass
@@ -56,6 +63,8 @@ class FrameMeta:
     fallback: bool = False   # needs oracle path (unregistered dict etc.)
     error: str = ""
     dict_skip: int = 0       # leading window-prefill bytes to drop
+    rows: list = dataclasses.field(default_factory=list)  # batch row ids
+    window: int = 0          # window size (chained exec prefill width)
 
 
 @dataclasses.dataclass
@@ -97,10 +106,12 @@ class DeviceBatch:
     ml_base: np.ndarray        # (Bf, S) i32
     of_base: np.ndarray        # (Bf, S) i32
     is_real: np.ndarray        # (Bf, S) bool
-    out_len: np.ndarray        # (Bf,) i32 (FCS or upper bound per frame)
-    frame_nseq: np.ndarray     # (Bf,) i32 sequence slots used per frame
+    out_len: np.ndarray        # (Bf,) i32 (FCS or upper bound per row)
+    frame_nseq: np.ndarray     # (Bf,) i32 sequence slots used per row
     frame_hist: np.ndarray     # (Bf, 3) i32 initial repeat offsets
-    metas: list  # FrameMeta per frame
+    row_lit_len: np.ndarray    # (Bf,) i32 literal bytes per row
+    row_meta: np.ndarray       # (Bf,) i32 meta index per row (-1 inert)
+    metas: list  # FrameMeta per frame (meta.rows = its chain of row ids)
     out_width: int
     max_huff_symbols: int
     max_seqs: int
@@ -164,36 +175,46 @@ class Framer:
 
     # ---- per-frame state ----------------------------------------------------
 
+    @staticmethod
+    def _new_group() -> dict:
+        return {"lit_parts": [], "lit_cursor": 0, "seqs": [],
+                "seq_cursor": 0, "out_bound": 0, "fcs": None}
+
     def add_frame(self, data: bytes, index: int) -> None:
-        """Parse one frame's structure; raises nothing — failures flag the lane."""
+        """Parse one frame's structure; raises nothing — failures flag the lane.
+
+        A frame becomes one batch row, or — when its decoded size exceeds
+        the group caps — a CHAIN of rows (block groups) executed windowed
+        (meta.rows holds the chain in order)."""
         marks = (len(self.huff_lanes), len(self.seq_lanes),
                  len(self.huff_tabs.rows), len(self.huff_maxbits),
                  len(self.ll_tabs.rows), len(self.of_tabs.rows),
                  len(self.ml_tabs.rows), len(self.ll_logs),
                  len(self.of_logs), len(self.ml_logs),
-                 len(self.huff_bnd))
-        fr = {
-            "lit_parts": [],   # (offset, bytes) host-known literal content
-            "lit_cursor": 0,
-            "seqs": [],        # synthetic (slot, ll, ml, of)
-            "seq_cursor": 0,
-            "out_bound": 0,    # upper bound on decoded size (batch sizing)
-            "fcs": None,
-        }
-        meta = FrameMeta(index=index, out_len=0, lit_len=0, checksum=None, ok=True)
+                 len(self.huff_bnd), len(self.frames))
+        meta = FrameMeta(index=index, out_len=0, lit_len=0, checksum=None,
+                         ok=True)
+        self._cur = self._new_group()
+        self._chain_rows = []
         try:
-            self._parse_frame(data, fr, meta)
+            self._parse_frame(data, meta)
         except ZstdError as e:
             meta.ok = False
             meta.error = f"{type(e).__name__}: {e}"
         except Exception as e:  # framer must never crash the batch
             meta.ok = False
             meta.error = f"internal {type(e).__name__}: {e}"
-        if (fr["out_bound"] > DEVICE_FRAME_CAP
-                or fr["lit_cursor"] > DEVICE_FRAME_CAP):
+        self._close_group(final=True)
+        chained = len(self._chain_rows) > 1
+        too_big = (self._chain_rows and
+                   (self.frames[self._chain_rows[-1]]["out_bound"]
+                    > GROUP_OUT_CAP + C.MAX_BLOCK_SIZE))
+        if (chained and (meta.window > STREAM_WINDOW_CAP
+                         or meta.dict_skip)) or too_big:
             meta.fallback = True
-            # strip this frame's lanes/tables so one big frame does not
-            # inflate the whole batch's widths
+        if not meta.ok or meta.fallback:
+            # strip this frame's lanes/tables/rows so a fallback frame does
+            # not inflate the whole batch's widths
             self._dict_tids.clear()  # stripped table rows invalidate ids
             (self.huff_lanes[marks[0]:], self.seq_lanes[marks[1]:],
              self.huff_tabs.rows[marks[2]:], self.huff_maxbits[marks[3]:],
@@ -201,17 +222,37 @@ class Framer:
              self.ml_tabs.rows[marks[6]:], self.ll_logs[marks[7]:],
              self.of_logs[marks[8]:], self.ml_logs[marks[9]:],
              self.huff_bnd[marks[10]:], self.huff_syms[marks[10]:],
-             self.huff_nranks[marks[10]:]) = (
-                [], [], [], [], [], [], [], [], [], [], [], [], [])
-            fr = {"lit_parts": [], "lit_cursor": 0, "seqs": [],
-                  "seq_cursor": 0, "out_bound": 0, "fcs": None}
-        meta.lit_len = fr["lit_cursor"]
-        meta.out_len = fr["fcs"] if fr["fcs"] is not None else -1
-        self.frames.append(fr)
+             self.huff_nranks[marks[10]:], self.frames[marks[11]:]) = (
+                [], [], [], [], [], [], [], [], [], [], [], [], [], [])
+            self._chain_rows = []
+        meta.rows = list(self._chain_rows)
+        meta.lit_len = max((self.frames[r]["lit_cursor"]
+                            for r in meta.rows), default=0)
         self.metas.append(meta)
+        self._cur = None
+        self._chain_rows = []
 
-    def _parse_frame(self, data: bytes, fr: dict, meta: FrameMeta) -> None:
+    def _close_group(self, final: bool = False) -> None:
+        """Append the current group as a batch row; open a fresh one unless
+        this is the end of the frame (empty non-first groups are dropped)."""
+        cur = self._cur
+        if cur is None:
+            return
+        if (cur["out_bound"] > 0 or cur["seq_cursor"] > 0
+                or not self._chain_rows):
+            self._chain_rows.append(len(self.frames))
+            self.frames.append(cur)
+        self._cur = None if final else self._new_group()
+
+    def _maybe_split_group(self) -> None:
+        cur = self._cur
+        if (cur["out_bound"] >= GROUP_OUT_CAP
+                or cur["seq_cursor"] >= GROUP_SEQ_CAP):
+            self._close_group()
+
+    def _parse_frame(self, data: bytes, meta: FrameMeta) -> None:
         header = frame_mod.parse_frame_header(data)
+        meta.window = header.window_size or 0
         cur_huff = None   # tid (cross-block entropy state, table ids)
         cur_ll = cur_of = cur_ml = None
         if header.dictionary_id is not None:
@@ -220,17 +261,19 @@ class Framer:
                 meta.fallback = True
                 return
             cur_huff, cur_ll, cur_of, cur_ml = self._register_dict(d)
-            fr["hist"] = list(d.offset_hist)
+            self._cur["hist"] = list(d.offset_hist)
             if d.content:
                 # window prefill: emit the content as a leading literal run
                 # and slice it off the decoded output (meta.dict_skip)
+                fr = self._cur
                 self._add_literal_bytes(fr, d.content)
                 self._add_synthetic(fr, ll=len(d.content), ml=0, of=0)
                 fr["out_bound"] += len(d.content)
                 meta.dict_skip = len(d.content)
-        fr["fcs"] = header.frame_content_size
+        self._cur["fcs"] = header.frame_content_size
+        meta.out_len = (header.frame_content_size
+                        if header.frame_content_size is not None else -1)
         pos = header.header_size
-        fidx = len(self.frames)
 
         while True:
             bh = blocks_mod.parse_block_header(data[pos:pos + 3])
@@ -238,6 +281,7 @@ class Framer:
             cap = min(header.window_size or C.MAX_BLOCK_SIZE, C.MAX_BLOCK_SIZE)
             if bh.block_size > cap:
                 raise ZstdError(f"block size {bh.block_size} over cap")
+            fr = self._cur
             if bh.block_type == C.BLOCK_RLE:
                 byte = data[pos:pos + 1]
                 if len(byte) < 1:
@@ -262,10 +306,12 @@ class Framer:
                 if len(content) < bh.block_size:
                     raise ZstdError("truncated compressed block")
                 pos += bh.block_size
+                fidx = len(self.frames)  # row id of the current group
                 cur_huff, cur_ll, cur_of, cur_ml = self._parse_compressed_block(
                     content, fr, fidx, cur_huff, cur_ll, cur_of, cur_ml)
             if bh.last_block:
                 break
+            self._maybe_split_group()
         if header.content_checksum:
             cs = data[pos:pos + 4]
             if len(cs) < 4:
@@ -516,6 +562,11 @@ class Framer:
         frame_nseq = np.zeros(Bf, np.int32)
         frame_hist = np.tile(np.array(C.INITIAL_REPEAT_OFFSETS, np.int32),
                              (Bf, 1))
+        row_lit_len = np.zeros(Bf, np.int32)
+        row_meta = np.full(Bf, -1, np.int32)
+        for mi, m in enumerate(self.metas):
+            for r in m.rows:
+                row_meta[r] = mi
         for i, f in enumerate(self.frames):
             if "hist" in f:
                 frame_hist[i] = f["hist"]
@@ -525,10 +576,14 @@ class Framer:
                 ll_base[i, slot] = ll
                 ml_base[i, slot] = ml
                 of_base[i, slot] = of
-            skip = self.metas[i].dict_skip
-            out_len[i] = (f["fcs"] + skip if f["fcs"] is not None
+            m = self.metas[row_meta[i]]
+            # FCS bounds only single-row frames; chained rows use the group
+            # bound (exact lengths come from the device resolve)
+            out_len[i] = (f["fcs"] + m.dict_skip
+                          if f["fcs"] is not None and len(m.rows) == 1
                           else f["out_bound"])
             frame_nseq[i] = f["seq_cursor"]
+            row_lit_len[i] = f["lit_cursor"]
 
         # huffman lanes (+1 inert row: bucket padding gathers point at it)
         Bs = len(self.huff_lanes) + 1
@@ -606,5 +661,6 @@ class Framer:
             lit_base=lit_base, ll_base=ll_base, ml_base=ml_base,
             of_base=of_base, is_real=is_real, out_len=out_len,
             frame_nseq=frame_nseq, frame_hist=frame_hist,
+            row_lit_len=row_lit_len, row_meta=row_meta,
             metas=self.metas, out_width=out_w,
             max_huff_symbols=max_sym, max_seqs=max_seqs)

@@ -210,13 +210,13 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
 
 
 def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
-                 out_ref, lit_rows: int, out_rows: int):
+                 out_ref, lit_rows: int, out_rows: int, L: int = _L):
     c = pl.program_id(1)
     base = c * SEQ_CHUNK
     counts = [jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK)
-              for j in range(_L)]
+              for j in range(L)]
     count = counts[0]
-    for j in range(1, _L):
+    for j in range(1, L):
         count = jnp.maximum(count, counts[j])
 
     # loop-invariant iotas (the (2,128,128) one-hot iota is ~32 vregs —
@@ -291,7 +291,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         # fused-path eligibility (fits-in-window & disjoint-source) is also
         # precomputed in XLA and packed into bit 24 of the ll record.
         recs = []
-        for j in range(_L):
+        for j in range(L):
             op = op_ref[j, 0, i]
             lp = lp_ref[j, 0, i]
             llp = ll_ref[j, 0, i]
@@ -416,3 +416,105 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < out_len[:, None], flat, 0).astype(jnp.uint8)
     return out[:B0], ok[:B0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_width", "window", "interpret"))
+def execute_window_pallas(ll, ml, offset,   # (S,) i32 group records
+                          literals,          # (Llit,) u8 group literals
+                          out_len,           # () i32 exact group length
+                          win,               # (window,) u8 trailing history
+                          hist_avail,        # () i32 real bytes preceding
+                          out_width: int, window: int,
+                          interpret: bool = False):
+    """Execute ONE block group of a chained (streamed) frame.
+
+    The previous output's trailing `window` bytes are prefilled ahead of
+    the group via input_output_aliasing, so match offsets reach across
+    group boundaries exactly like the reference's window-retaining drain
+    (decode_buffer.rs:182-218). Offsets are valid up to
+    pos + min(window, hist_avail). Returns (group bytes (out_width,) u8,
+    ok () bool).
+    """
+    assert window % 128 == 0
+    S = ll.shape[0]
+    lit_w = literals.shape[0]
+    PAD = 3 * 128
+    wrows = window // 128
+    out_rows = 3 + wrows + (out_width + 127) // 128 + _K + 2
+    lit_rows = 3 + (lit_w + 127) // 128 + _K + 2
+
+    run = ll + ml
+    endpos = jnp.cumsum(run)
+    pos_before_match = endpos - ml
+    reach = pos_before_match + jnp.minimum(hist_avail, window)
+    off_ok = (ml == 0) | ((offset > 0) & (offset <= reach))
+    lit_need = jnp.cumsum(ll)
+    ok = (jnp.all(off_ok) & (endpos[-1] == out_len)
+          & (out_len <= out_width) & (lit_need[-1] <= lit_w))
+    act = run > 0
+    nseq = jnp.max(jnp.where(act, jnp.arange(S, dtype=jnp.int32) + 1, 0))
+    ok = ok & (nseq <= MAX_SMEM_SEQS)
+    nseq = jnp.where(ok, nseq, 0)
+
+    n_chunks = max(1, -(-min(S, MAX_SMEM_SEQS) // SEQ_CHUNK))
+    s_pad = n_chunks * SEQ_CHUNK
+
+    def rec3(x):
+        x = x[:s_pad]
+        if s_pad > x.shape[0]:
+            x = jnp.pad(x, (0, s_pad - x.shape[0]))
+        return x[None, None, :]  # (1, 1, s_pad)
+
+    lit_i32 = jnp.pad(literals, (PAD, lit_rows * 128 - lit_w - PAD)
+                      ).astype(jnp.int32).reshape(1, lit_rows, 128)
+
+    # cursors shifted past the lead pad AND the window prefix
+    base = PAD + window
+    opv = endpos - run + base
+    lpv = lit_need - ll + PAD
+    span_max = 128 * (_FR - 1)
+    fits = ((opv & 127) + run) <= span_max
+    disjoint = (ml == 0) | (offset >= run)
+    ll = ll | jnp.where(fits & disjoint, 1 << 24, 0)
+
+    # initial out content: [PAD zeros | window | zeros], aliased to the
+    # kernel's output so match sources below the group are readable
+    init = jnp.pad(win, (PAD, out_rows * 128 - window - PAD)
+                   ).astype(jnp.int32).reshape(1, out_rows, 128)
+
+    smem_rec = pl.BlockSpec((1, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, out_rows, 128), lambda l, c: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
+        # init_r is the aliased window prefix — the kernel reads/writes it
+        # through out_r directly
+        _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
+                     lit_rows=lit_rows, out_rows=out_rows, L=1)
+
+    out_i32 = pl.pallas_call(
+        kernel,
+        grid=(1, n_chunks),
+        in_specs=[
+            smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
+            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, lit_rows, 128), lambda l, c: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            out_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1, out_rows, 128), jnp.int32),
+        input_output_aliases={7: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
+      nseq.reshape(1, 1, 1), lit_i32, init)
+
+    flat = out_i32.reshape(out_rows * 128)[base:base + out_width]
+    pos = jnp.arange(out_width, dtype=jnp.int32)
+    out = jnp.where(pos < out_len, flat, 0).astype(jnp.uint8)
+    return out, ok

@@ -75,25 +75,41 @@ def bench_longframe(mb: int = 16) -> dict:
 
 
 def bench_encode(mb: int = 8) -> dict:
-    """Batched device-entropy encode throughput (BatchEncoder)."""
+    """Encode throughput: the process-parallel host path (native hot loops;
+    degenerates to serial on this 1-core dev host) and the device-entropy
+    BatchEncoder path."""
     import zstandard
 
+    from zstd_tpu.encoding.parallel import compress_frames_parallel
     from zstd_tpu.models.batch_encoder import BatchEncoder
 
     payloads = make_corpus(mb, seed=5)
-    enc = BatchEncoder()
-    outs = enc.compress_frames(payloads)  # warmup + compile
+    n = sum(len(p) for p in payloads)
     dctx = zstandard.ZstdDecompressor()
+
+    outs = compress_frames_parallel(payloads, write_checksum=False)
+    t0 = time.time()
+    outs = compress_frames_parallel(payloads, write_checksum=False)
+    dt_host = time.time() - t0
     correct = all(
         dctx.decompress(o, max_output_size=len(p) + 64) == p
         for o, p in zip(outs, payloads))
-    t0 = time.time()
-    enc.compress_frames(payloads)
-    dt = time.time() - t0
-    n = sum(len(p) for p in payloads)
-    return {"encode_mbps": round(n / dt / 1e6, 2),
-            "encode_ratio": round(sum(len(o) for o in outs) / n, 4),
-            "encode_correct": correct}
+
+    res = {"encode_mbps": round(n / dt_host / 1e6, 2),
+           "encode_ratio": round(sum(len(o) for o in outs) / n, 4),
+           "encode_correct": correct}
+    try:
+        enc = BatchEncoder()
+        douts = enc.compress_frames(payloads)  # warmup + compile
+        res["encode_device_correct"] = all(
+            dctx.decompress(o, max_output_size=len(p) + 64) == p
+            for o, p in zip(douts, payloads))
+        t0 = time.time()
+        enc.compress_frames(payloads)
+        res["encode_device_mbps"] = round(n / (time.time() - t0) / 1e6, 2)
+    except Exception as e:
+        res["encode_device_error"] = f"{type(e).__name__}: {e}"
+    return res
 
 
 def main():

@@ -107,6 +107,16 @@ def _normalize_slow(counts, table_log: int, total: int) -> list[int]:
 
 def build_encode_table(probs, table_log: int) -> FSEEncodeTable:
     """Build the ANS encode table mirroring the decoder's spread function."""
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if rt is not None:
+        res = rt.fse_enc_build(list(probs), table_log)
+        if isinstance(res, tuple):
+            next_state, dnb, dfs = res
+            return FSEEncodeTable(table_log=table_log, probs=list(probs),
+                                  next_state=next_state, delta_nb_bits=dnb,
+                                  delta_find_state=dfs)
     size = 1 << table_log
     mask = size - 1
     step = (size >> 1) + (size >> 3) + 3

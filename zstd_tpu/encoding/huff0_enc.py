@@ -63,6 +63,15 @@ def build_from_counts(counts: np.ndarray) -> HuffmanEncodeTable:
     present = {s: int(c) for s, c in enumerate(counts) if c > 0}
     if len(present) < 2:
         raise EncodeError("huffman needs at least two distinct symbols")
+    from zstd_tpu.oracle.sequences import _native_runtime
+
+    rt = _native_runtime()
+    if rt is not None:
+        res = rt.huff_enc_build(counts)
+        if isinstance(res, tuple):
+            weights, codes, lens, max_bits = res
+            return HuffmanEncodeTable(weights=weights, codes=codes,
+                                      lengths=lens, max_bits=max_bits)
     lengths = _package_merge(present, HUF_MAX_BITS)
     max_len = max(lengths.values())
     # weights: w = max_len + 1 - nb for coded symbols, 0 otherwise

@@ -55,8 +55,12 @@ MAX_SMEM_SEQS = 32768
 # "body" skips that part of the per-sequence work
 _ABLATE = os.environ.get("ZSTD_TPU_EXEC_ABLATE", "")
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
-_L = 4    # lanes interleaved per grid step
-_FR = 3   # fused-path store window rows (span <= 2 rows + alignment row)
+_L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
+# fused-path store window rows (span <= 128*(_FR-1) incl. the alignment
+# row); the lead pad must be _FR rows for the rd-anchored match window
+# (see _fused_short). _FR=5 measured NEUTRAL vs 3 at 128 MiB (r2) — the
+# wider fused coverage is cancelled by the bigger per-op shapes.
+_FR = int(__import__("os").environ.get("ZSTD_TPU_EXEC_FR", "3"))
 
 
 def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
@@ -342,12 +346,13 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
         out_len = jnp.pad(out_len, (0, pad))
     B = ll.shape[0]
     lit_w = literals.shape[1]
-    # 3 lead pad rows shift every cursor by +384 bytes so all source-window
-    # row indices stay >= 0 inside the kernel (no roll-down fixups, and the
-    # fused match window anchors directly at the store row)
-    PAD = 3 * 128
-    out_rows = 3 + (out_width + 127) // 128 + _K + 2
-    lit_rows = 3 + (lit_w + 127) // 128 + _K + 2
+    # _FR lead pad rows shift every cursor so all source-window row
+    # indices stay >= 0 inside the kernel (no roll-down fixups, and the
+    # fused match window anchors directly at the store row: 128*PAD_rows
+    # >= span_max + 127 covers ll up to the fused span)
+    PAD = _FR * 128
+    out_rows = _FR + (out_width + 127) // 128 + _K + 2
+    lit_rows = _FR + (lit_w + 127) // 128 + _K + 2
 
     # --- XLA-side validation (cheap vector ops) ---------------------------
     run = ll + ml
@@ -439,10 +444,10 @@ def execute_window_pallas(ll, ml, offset,   # (S,) i32 group records
     assert window % 128 == 0
     S = ll.shape[0]
     lit_w = literals.shape[0]
-    PAD = 3 * 128
+    PAD = _FR * 128
     wrows = window // 128
-    out_rows = 3 + wrows + (out_width + 127) // 128 + _K + 2
-    lit_rows = 3 + (lit_w + 127) // 128 + _K + 2
+    out_rows = _FR + wrows + (out_width + 127) // 128 + _K + 2
+    lit_rows = _FR + (lit_w + 127) // 128 + _K + 2
 
     run = ll + ml
     endpos = jnp.cumsum(run)

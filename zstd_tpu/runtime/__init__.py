@@ -113,6 +113,12 @@ def get_lib():
     lib.zt_huff_parse.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_huff_enc_build.restype = ctypes.c_int64
+    lib.zt_huff_enc_build.argtypes = [ctypes.c_void_p] * 5
+    lib.zt_fse_enc_build.restype = ctypes.c_int64
+    lib.zt_fse_enc_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -479,3 +485,48 @@ def huff_parse(data: bytes):
     if r < 0:
         return int(r)
     return lut, bnd, syms, int(meta[0]), int(meta[1]), int(meta[2])
+
+
+def huff_enc_build(counts):
+    """Native package-merge + canonical Huffman codes (encoder side).
+
+    Returns (weights list, codes u16, lens u8, max_bits) or None/negative
+    (caller's Python path handles the error parity)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(counts, np.int64)
+    codes = np.empty(256, np.uint32)
+    lens = np.empty(256, np.uint8)
+    weights = np.empty(256, np.int32)
+    meta = np.empty(2, np.int32)
+    r = lib.zt_huff_enc_build(c.ctypes.data, codes.ctypes.data,
+                              lens.ctypes.data, weights.ctypes.data,
+                              meta.ctypes.data)
+    if r < 0:
+        return int(r)
+    n = int(meta[1]) + 1
+    return (list(weights[:n]), codes[:n].astype(np.uint16), lens[:n].copy(),
+            int(meta[0]))
+
+
+def fse_enc_build(probs, table_log: int):
+    """Native ANS encode-table build (fse_enc.py::build_encode_table)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(probs, np.int32)
+    size = 1 << table_log
+    next_state = np.empty(size, np.uint16)
+    dnb = np.empty(256, np.uint32)
+    dfs = np.empty(256, np.int32)
+    r = lib.zt_fse_enc_build(p.ctypes.data, len(p), table_log,
+                             next_state.ctypes.data, dnb.ctypes.data,
+                             dfs.ctypes.data)
+    if r < 0:
+        return int(r)
+    return next_state, dnb, dfs

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -1009,6 +1011,173 @@ int64_t zt_huff_parse(const uint8_t* data, int64_t len, uint16_t* lut,
     meta[0] = max_bits;
     meta[1] = nranks;
     meta[2] = (int32_t)consumed;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Encoder table builds (host compress hot spots)
+// ---------------------------------------------------------------------------
+// Mirrors encoding/huff0_enc.py::_package_merge + build_from_counts and
+// encoding/fse_enc.py::build_encode_table byte-for-byte (the Python paths
+// remain the parity oracle; ZT_NO_NATIVE=1 forces them).
+
+int64_t zt_huff_enc_build(const int64_t* counts,  // [256]
+                          uint32_t* codes,        // [256] out
+                          uint8_t* lens,          // [256] out
+                          int32_t* weights_out,   // [256] out
+                          int32_t* meta) {        // {max_bits, last_symbol}
+    struct Item {
+        int64_t count;
+        std::vector<int> syms;
+    };
+    std::vector<Item> base, pool;
+    int present[256], np_ = 0;
+    for (int s = 0; s < 256; s++)
+        if (counts[s] > 0) present[np_++] = s;
+    if (np_ < 2) return -1;
+    const int LIMIT = 11;
+    // syms sorted by (count, symbol) — stable sort over ascending symbols
+    std::vector<int> order(present, present + np_);
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        return counts[a] < counts[b];
+    });
+    int64_t lengths[256] = {0};
+    if (np_ == 1) {
+        lengths[order[0]] = 1;
+    } else {
+        for (int s : order) base.push_back({counts[s], {s}});
+        for (int r = 0; r < LIMIT - 1; r++) {
+            std::vector<Item> merged = base;
+            for (auto& it : pool) merged.push_back(it);
+            std::stable_sort(merged.begin(), merged.end(),
+                             [](const Item& a, const Item& b) {
+                                 return a.count < b.count;
+                             });
+            pool.clear();
+            for (size_t i = 0; i + 1 < merged.size(); i += 2) {
+                Item m;
+                m.count = merged[i].count + merged[i + 1].count;
+                m.syms = merged[i].syms;
+                m.syms.insert(m.syms.end(), merged[i + 1].syms.begin(),
+                              merged[i + 1].syms.end());
+                pool.push_back(std::move(m));
+            }
+        }
+        std::vector<Item> fin = base;
+        for (auto& it : pool) fin.push_back(it);
+        std::stable_sort(fin.begin(), fin.end(),
+                         [](const Item& a, const Item& b) {
+                             return a.count < b.count;
+                         });
+        size_t take = 2 * (size_t)np_ - 2;
+        for (size_t i = 0; i < take && i < fin.size(); i++)
+            for (int s : fin[i].syms) lengths[s]++;
+    }
+    int max_len = 0;
+    for (int s = 0; s < 256; s++)
+        if (lengths[s] > max_len) max_len = (int)lengths[s];
+    if (max_len > LIMIT || max_len == 0) return -2;
+    int last_symbol = present[np_ - 1];
+    int32_t weights[257];
+    for (int s = 0; s <= last_symbol; s++)
+        weights[s] = lengths[s] ? (int32_t)(max_len + 1 - lengths[s]) : 0;
+
+    // build_table_from_weights on weights[:-1] with the implied last weight
+    // (oracle/huff0.py:93-140); parity check: implied max_bits == max_len
+    int64_t wsum = 0;
+    for (int s = 0; s < last_symbol; s++)
+        if (weights[s] > 0) wsum += (int64_t)1 << (weights[s] - 1);
+    if (wsum == 0) return -2;
+    int max_bits = 64 - __builtin_clzll((uint64_t)wsum);
+    if (max_bits != max_len) return -3;
+    int64_t left_over = ((int64_t)1 << max_bits) - wsum;
+    if (left_over & (left_over - 1)) return -3;
+    int last_weight = 64 - __builtin_clzll((uint64_t)left_over);
+    if (last_weight != weights[last_symbol]) return -3;
+
+    int64_t rank_count[14] = {0};
+    for (int s = 0; s <= last_symbol; s++) rank_count[weights[s]]++;
+    int64_t rank_idx[14] = {0};
+    int64_t next_idx = 0;
+    for (int w = 1; w <= max_bits; w++) {
+        rank_idx[w] = next_idx;
+        next_idx += rank_count[w] * ((int64_t)1 << (w - 1));
+    }
+    if (next_idx != ((int64_t)1 << max_bits)) return -3;
+    memset(codes, 0, 256 * 4);
+    memset(lens, 0, 256);
+    for (int s = 0; s <= last_symbol; s++) {
+        int w = weights[s];
+        if (w == 0) continue;
+        int nb = max_bits + 1 - w;
+        codes[s] = (uint32_t)(rank_idx[w] >> (w - 1));
+        lens[s] = (uint8_t)nb;
+        rank_idx[w] += (int64_t)1 << (w - 1);
+    }
+    for (int s = 0; s <= last_symbol; s++) weights_out[s] = weights[s];
+    meta[0] = max_bits;
+    meta[1] = last_symbol;
+    return 0;
+}
+
+int64_t zt_fse_enc_build(const int32_t* probs, int64_t nprobs,
+                         int32_t table_log,
+                         uint16_t* next_state,       // [size] out
+                         uint32_t* delta_nb_bits,    // [256] out
+                         int32_t* delta_find_state)  // [256] out
+{
+    int64_t size = (int64_t)1 << table_log;
+    int64_t mask = size - 1;
+    int64_t step = (size >> 1) + (size >> 3) + 3;
+    int64_t cumul[258] = {0};
+    int64_t high_threshold = size - 1;
+    std::vector<int> table_symbol((size_t)size, 0);
+    for (int64_t s = 0; s < nprobs; s++) {
+        if (probs[s] == -1) {
+            cumul[s + 1] = cumul[s] + 1;
+            table_symbol[(size_t)high_threshold--] = (int)s;
+        } else {
+            cumul[s + 1] = cumul[s] + probs[s];
+        }
+    }
+    int64_t pos = 0;
+    for (int64_t s = 0; s < nprobs; s++) {
+        int32_t p = probs[s];
+        if (p <= 0) continue;
+        for (int32_t k = 0; k < p; k++) {
+            table_symbol[(size_t)pos] = (int)s;
+            pos = (pos + step) & mask;
+            while (pos > high_threshold) pos = (pos + step) & mask;
+        }
+    }
+    if (pos != 0) return -1;
+    int64_t cc[258];
+    memcpy(cc, cumul, sizeof(cc));
+    for (int64_t u = 0; u < size; u++) {
+        int s = table_symbol[(size_t)u];
+        next_state[cc[s]++] = (uint16_t)(size + u);
+    }
+    memset(delta_nb_bits, 0, 256 * 4);
+    memset(delta_find_state, 0, 256 * 4);
+    int64_t total = 0;
+    for (int64_t s = 0; s < nprobs; s++) {
+        int64_t p = probs[s];
+        if (p == 0) {
+            delta_nb_bits[s] = (uint32_t)(((table_log + 1) << 16) - size);
+        } else if (p == -1 || p == 1) {
+            delta_nb_bits[s] = (uint32_t)((table_log << 16) - size);
+            delta_find_state[s] = (int32_t)(total - 1);
+            total += 1;
+        } else {
+            int hb = 64 - __builtin_clzll((uint64_t)(p - 1));  // bit_length
+            int max_bits_out = table_log - hb + 1;
+            int64_t min_state_plus = p << max_bits_out;
+            delta_nb_bits[s] = (uint32_t)((max_bits_out << 16)
+                                          - min_state_plus);
+            delta_find_state[s] = (int32_t)(total - p);
+            total += p;
+        }
+    }
     return 0;
 }
 

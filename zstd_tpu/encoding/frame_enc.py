@@ -10,6 +10,7 @@ content checksum.
 """
 
 import io
+import os
 
 from zstd_tpu.common import constants as C
 from zstd_tpu.common.config import CodecConfig, CompressionLevel
@@ -76,6 +77,17 @@ class FrameCompressor:
             self.matcher.reset(level)
         self._offset_hist = list(C.INITIAL_REPEAT_OFFSETS)
         self._huff_table = None  # cross-block Treeless reuse state
+        # Native per-block fast path (byte-identical to the Python path —
+        # tests/test_encoder_native.py pins it; ZT_NO_NATIVE=1 forces Python)
+        self._native = None
+        if (self.matcher is None and level == CompressionLevel.FASTEST
+                and not os.environ.get("ZT_NO_NATIVE")):
+            try:
+                from zstd_tpu.runtime import BlockCompressor
+
+                self._native = BlockCompressor()
+            except Exception:
+                self._native = None
         hasher = Xxh64() if cfg.write_checksum else None
         window_log = (self.matcher.window_size().bit_length() - 1
                       if self.matcher is not None else cfg.window_log)
@@ -114,6 +126,17 @@ class FrameCompressor:
         if block.count(block[0]) == len(block):
             drain.write(_block_header(last, C.BLOCK_RLE, len(block)))
             drain.write(block[0:1])
+            return
+        if self._native is not None:
+            compressed = self._native.compress_block(block)
+            if compressed is not None:
+                drain.write(_block_header(last, C.BLOCK_COMPRESSED,
+                                          len(compressed)))
+                drain.write(compressed)
+                self._native.commit()  # commit only when the block is emitted
+            else:
+                drain.write(_block_header(last, C.BLOCK_RAW, len(block)))
+                drain.write(block)
             return
         hist = list(self._offset_hist)
         huff_cell = [self._huff_table]
@@ -157,6 +180,24 @@ def compress(source, drain, level: CompressionLevel = CompressionLevel.FASTEST,
 
 def compress_to_vec(data, level: CompressionLevel = CompressionLevel.FASTEST,
                     config: CodecConfig | None = None) -> bytes:
+    data = bytes(data)
+    if (level in (CompressionLevel.UNCOMPRESSED, CompressionLevel.FASTEST)
+            and not os.environ.get("ZT_NO_NATIVE")):
+        # One-shot native frame build (no per-block Python/ctypes round
+        # trips); byte-identical to the streaming path by construction —
+        # the ratio-gate and parity tests pin it.
+        cfg = config or CodecConfig()
+        if 10 <= cfg.window_log <= 41:
+            try:
+                from zstd_tpu.runtime import compress_frame as _native_frame
+
+                out = _native_frame(
+                    data, cfg.window_log, cfg.write_checksum,
+                    1 if level == CompressionLevel.FASTEST else 0)
+            except Exception:
+                out = None
+            if out is not None:
+                return out
     out = io.BytesIO()
-    compress(io.BytesIO(bytes(data)), out, level, config)
+    compress(io.BytesIO(data), out, level, config)
     return out.getvalue()

@@ -119,6 +119,14 @@ def get_lib():
     lib.zt_fse_enc_build.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.zt_compress_block2.restype = ctypes.c_int64
+    lib.zt_compress_block2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_compress_frame.restype = ctypes.c_int64
+    lib.zt_compress_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -510,6 +518,76 @@ def huff_enc_build(counts):
     n = int(meta[1]) + 1
     return (list(weights[:n]), codes[:n].astype(np.uint16), lens[:n].copy(),
             int(meta[0]))
+
+
+class BlockCompressor:
+    """Streaming per-block native compressor (frame_enc.py::_write_block
+    fast path). Holds the frame's repeat-offset history and cross-block
+    Huffman (Treeless reuse) state; `compress_block` mirrors
+    block_enc.py::compress_block with commit-on-emit semantics owned by
+    the caller via `commit()`."""
+
+    __slots__ = ("_lib", "_hist", "_huff", "_hist_c", "_huff_c", "_out")
+
+    def __init__(self):
+        import numpy as np
+
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._hist = np.array([1, 4, 8], np.int64)
+        self._huff = np.zeros(771, np.int32)
+        self._hist_c = np.empty(3, np.int64)
+        self._huff_c = np.empty(771, np.int32)
+        self._out = None
+
+    def compress_block(self, block: bytes) -> bytes | None:
+        """Returns compressed content strictly smaller than `block`, or
+        None when compression does not pay / native path errored (the
+        caller emits Raw or falls back to Python)."""
+        import numpy as np
+
+        cap = 2 * len(block) + 4096
+        if self._out is None or len(self._out) < cap:
+            self._out = np.empty(cap, np.uint8)
+        np.copyto(self._hist_c, self._hist)
+        np.copyto(self._huff_c, self._huff)
+        r = self._lib.zt_compress_block2(
+            bytes(block), len(block), self._hist_c.ctypes.data,
+            self._huff_c.ctypes.data, self._out.ctypes.data, cap)
+        if r <= 0:
+            return None
+        return self._out[:r].tobytes()
+
+    def commit(self) -> None:
+        """Adopt the state mutations of the last compress_block call
+        (called only when the compressed block is actually emitted)."""
+        import numpy as np
+
+        np.copyto(self._hist, self._hist_c)
+        np.copyto(self._huff, self._huff_c)
+
+
+def compress_frame(data: bytes, window_log: int, checksum: bool,
+                   level: int) -> bytes | None:
+    """One-shot native frame compressor (frame_enc.py::compress with no
+    matcher). level: 0 = UNCOMPRESSED, 1 = FASTEST. Returns the frame or
+    None when the library is unavailable / errored (caller's Python path
+    is the fallback and the parity oracle)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = bytes(data)
+    cap = len(data) + (len(data) >> 6) + 4096
+    out = np.empty(cap, np.uint8)
+    r = lib.zt_compress_frame(data, len(data), window_log,
+                              1 if checksum else 0, level,
+                              out.ctypes.data, cap)
+    if r < 0:
+        return None
+    return out[:r].tobytes()
 
 
 def fse_enc_build(probs, table_log: int):

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
 #include <algorithm>
 #include <vector>
 
@@ -1179,6 +1180,912 @@ int64_t zt_fse_enc_build(const int32_t* probs, int64_t nprobs,
         }
     }
     return 0;
+}
+
+// ===========================================================================
+// Full native block/frame compressor (host encode end-to-end).
+//
+// Byte-for-byte port of encoding/frame_enc.py (compress / _write_block),
+// block_enc.py (compress_block, encode_literals_section, _mode_and_table,
+// encode_sequences_section_arrays), huff0_enc.py (write_table_description,
+// _fse_compress_weights) and fse_enc.py (optimal_table_log,
+// normalize_counts, write_table_description). The Python path remains the
+// parity oracle (ZT_NO_NATIVE=1 forces it); tests pin frame equality.
+// Reference behavior parity: frame_compressor.rs:38-276,
+// blocks/compressed.rs:26-377, huff0_encoder.rs:119-153,
+// fse_encoder.rs:147-188.
+// ===========================================================================
+
+// --- spec tables (RFC 8878 §3.1.1.3.2; common/constants.py) ----------------
+
+static const int32_t ZT_LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536};
+static const int32_t ZT_LL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16};
+static const int32_t ZT_ML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539};
+static const int32_t ZT_ML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16};
+static const int32_t ZT_LL_DEF[36] = {
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1};
+static const int32_t ZT_ML_DEF[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1};
+static const int32_t ZT_OF_DEF[29] = {
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+static const int ZT_LL_MAX_LOG = 9, ZT_ML_MAX_LOG = 9, ZT_OF_MAX_LOG = 8;
+static const int ZT_LL_DEF_LOG = 6, ZT_ML_DEF_LOG = 6, ZT_OF_DEF_LOG = 5;
+
+// --- small growable-less output buffer -------------------------------------
+
+struct ZtOutBuf {
+    uint8_t* buf;
+    int64_t cap, len;
+};
+static inline int ob_put(ZtOutBuf* o, const void* p, int64_t n) {
+    if (o->len + n > o->cap) return -1;
+    memcpy(o->buf + o->len, p, (size_t)n);
+    o->len += n;
+    return 0;
+}
+static inline int ob_byte(ZtOutBuf* o, uint8_t b) { return ob_put(o, &b, 1); }
+
+static inline int64_t bw_bitpos(const ZtBitW* w) {
+    return w->len * 8 + w->nbits;
+}
+static inline int bw_pad_byte(ZtBitW* w) {
+    int mis = (int)(bw_bitpos(w) & 7);
+    return mis ? bw_put(w, 0, 8 - mis) : 0;
+}
+
+// --- FSE encode tables (fse_enc.py::build_encode_table via
+//     zt_fse_enc_build, widened to the int32 layout the stream encoder
+//     consumes) ---------------------------------------------------------------
+
+struct FseEncT {
+    int32_t table_log;
+    int32_t nprobs;
+    int32_t probs[64];
+    int32_t ns[512];
+    int32_t dnb[64];
+    int32_t dfs[64];
+};
+
+static int fse_enc_make(const int32_t* probs, int nprobs, int table_log,
+                        FseEncT* t) {
+    if (nprobs > 64 || table_log > 9) return -1;
+    uint16_t ns16[512];
+    uint32_t dnb32[256];
+    int32_t dfs32[256];
+    if (zt_fse_enc_build(probs, nprobs, table_log, ns16, dnb32, dfs32) < 0)
+        return -1;
+    t->table_log = table_log;
+    t->nprobs = nprobs;
+    int64_t size = (int64_t)1 << table_log;
+    for (int i = 0; i < nprobs; i++) t->probs[i] = probs[i];
+    for (int64_t i = 0; i < size; i++) t->ns[i] = (int32_t)ns16[i];
+    for (int i = 0; i < nprobs; i++) {
+        t->dnb[i] = (int32_t)dnb32[i];
+        t->dfs[i] = dfs32[i];
+    }
+    return 0;
+}
+
+static inline int32_t fse_init_state(const FseEncT* t, int c) {
+    int nb = (t->dnb[c] + (1 << 15)) >> 16;
+    int64_t value = ((int64_t)nb << 16) - t->dnb[c];
+    return t->ns[(value >> nb) + t->dfs[c]];
+}
+
+static inline int fse_enc_sym(const FseEncT* t, int32_t* st, int c,
+                              ZtBitW* w) {
+    int nb = (*st + t->dnb[c]) >> 16;
+    if (bw_put(w, (uint64_t)(uint32_t)*st, nb) < 0) return -1;
+    *st = t->ns[(*st >> nb) + t->dfs[c]];
+    return 0;
+}
+
+// exact stream bit cost (block_enc.py::_sim_bits: init emits nothing,
+// flush emits table_log)
+static int64_t fse_sim_cost(const FseEncT* t, const int32_t* codes,
+                            int64_t n) {
+    if (n <= 0) return t->table_log;
+    int32_t st = fse_init_state(t, codes[n - 1]);
+    int64_t bits = 0;
+    for (int64_t i = n - 2; i >= 0; i--) {
+        int c = codes[i];
+        int nb = (st + t->dnb[c]) >> 16;
+        bits += nb;
+        st = t->ns[(st >> nb) + t->dfs[c]];
+    }
+    return bits + t->table_log;
+}
+
+// fse_enc.py::optimal_table_log
+static int fse_optimal_log(int max_log, int64_t total, int num_symbols) {
+    if (total <= 1) return 5;
+    auto bitlen = [](int64_t v) -> int {
+        return v <= 0 ? 0 : 64 - __builtin_clzll((uint64_t)v);
+    };
+    int bits_src = bitlen(total - 1) - 3;
+    if (bits_src < 1) bits_src = 1;
+    int ns = num_symbols - 1;
+    if (ns < 1) ns = 1;
+    int bits_sym = bitlen(ns) + 1;
+    int log = bits_src < max_log ? bits_src : max_log;
+    if (bits_sym > log) log = bits_sym;
+    if (log < 5) log = 5;
+    return log < max_log ? log : max_log;
+}
+
+// fse_enc.py::normalize_counts (+ _normalize_slow). probs length ==
+// ncounts on success; returns 0 or -1.
+static int fse_normalize(const int64_t* counts, int ncounts, int table_log,
+                         int64_t total, int32_t* probs) {
+    int64_t size = (int64_t)1 << table_log;
+    if (total <= 0) return -1;
+    for (int i = 0; i < ncounts; i++) probs[i] = 0;
+    int64_t low_threshold = total >> table_log;
+    int64_t assigned = 0;
+    int largest = -1;
+    int64_t largest_p = 0;
+    for (int s = 0; s < ncounts; s++) {
+        int64_t c = counts[s];
+        if (c == 0) continue;
+        if (c <= low_threshold) {
+            probs[s] = -1;
+            assigned += 1;
+        } else {
+            int64_t p = (c * size) / total;
+            if (p == 0) p = 1;
+            probs[s] = (int32_t)p;
+            assigned += p;
+            if (p > largest_p) {
+                largest = s;
+                largest_p = p;
+            }
+        }
+    }
+    if (largest < 0) {
+        for (int s = 0; s < ncounts; s++) {
+            if (counts[s]) {
+                probs[s] = 1;  // was -1; assigned already counted it as 1
+                largest = s;
+                largest_p = 1;
+                break;
+            }
+        }
+        if (largest < 0) return -1;
+    }
+    int64_t diff = size - assigned;
+    if (probs[largest] + diff > 0) {
+        probs[largest] += (int32_t)diff;
+        return 0;
+    }
+    // _normalize_slow: 1 each, distribute remainder by count share
+    int present[64];
+    int np_ = 0;
+    for (int s = 0; s < ncounts; s++)
+        if (counts[s]) present[np_++] = s;
+    if (np_ > size) return -1;
+    for (int i = 0; i < ncounts; i++) probs[i] = 0;
+    for (int i = 0; i < np_; i++) probs[present[i]] = 1;
+    int64_t remaining = size - np_;
+    int order[64];
+    memcpy(order, present, sizeof(int) * np_);
+    std::stable_sort(order, order + np_, [&](int a, int b) {
+        return counts[a] > counts[b];
+    });
+    int64_t i = 0;
+    while (remaining > 0) {
+        probs[order[i % np_]] += 1;
+        remaining--;
+        i++;
+    }
+    return 0;
+}
+
+// fse_enc.py::write_table_description (fse_encoder.rs:147-188)
+static int fse_write_desc(ZtBitW* w, const int32_t* probs, int nprobs,
+                          int table_log) {
+    if (bw_put(w, (uint64_t)(table_log - 5), 4) < 0) return -1;
+    int64_t remaining = (int64_t)1 << table_log;
+    int i = 0;
+    while (remaining > 0 && i < nprobs) {
+        int32_t p = probs[i];
+        int bits_to_read = 64 - __builtin_clzll((uint64_t)(remaining + 1));
+        int64_t lower_mask = ((int64_t)1 << (bits_to_read - 1)) - 1;
+        int64_t threshold = ((int64_t)1 << bits_to_read) - 1 - (remaining + 1);
+        int64_t val = p + 1;
+        if (val < threshold) {
+            if (bw_put(w, (uint64_t)val, bits_to_read - 1) < 0) return -1;
+        } else if (val > lower_mask) {
+            if (bw_put(w, (uint64_t)(val + threshold), bits_to_read) < 0)
+                return -1;
+        } else {
+            if (bw_put(w, (uint64_t)val, bits_to_read) < 0) return -1;
+        }
+        remaining -= p < 0 ? -p : p;
+        i++;
+        if (p == 0) {
+            int run = 0;
+            while (i < nprobs && probs[i] == 0 && remaining > 0) {
+                run++;
+                i++;
+            }
+            while (run >= 3) {
+                if (bw_put(w, 3, 2) < 0) return -1;
+                run -= 3;
+            }
+            if (bw_put(w, (uint64_t)run, 2) < 0) return -1;
+        }
+    }
+    if (remaining != 0) return -1;
+    return bw_pad_byte(w);
+}
+
+// --- sequence-section mode selection (block_enc.py::_mode_and_table) -------
+
+static FseEncT g_predef[3];   // ll, of, ml
+static int g_predef_ready = 0;
+
+static int predef_tables_init() {
+    if (g_predef_ready) return 0;
+    if (fse_enc_make(ZT_LL_DEF, 36, ZT_LL_DEF_LOG, &g_predef[0]) < 0 ||
+        fse_enc_make(ZT_OF_DEF, 29, ZT_OF_DEF_LOG, &g_predef[1]) < 0 ||
+        fse_enc_make(ZT_ML_DEF, 53, ZT_ML_DEF_LOG, &g_predef[2]) < 0)
+        return -1;
+    g_predef_ready = 1;
+    return 0;
+}
+
+// Returns mode (0 predef / 1 rle / 2 fse) or -1. Fills `t` for modes 0/2,
+// `rle_sym` for mode 1, and appends table bytes to `tw` for modes 1/2.
+static int mode_and_table(const int32_t* codes, int64_t n, int max_log,
+                          int predef_idx, ZtBitW* tw, FseEncT* t,
+                          int* rle_sym) {
+    int32_t first = codes[0];
+    bool all_eq = true;
+    int32_t maxc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (codes[i] != first) all_eq = false;
+        if (codes[i] > maxc) maxc = codes[i];
+    }
+    if (all_eq) {
+        if (bw_put(tw, (uint64_t)(uint32_t)first, 8) < 0) return -1;
+        *rle_sym = first;
+        return 1;  // MODE_RLE
+    }
+    int64_t counts[64] = {0};
+    if (maxc >= 64) return -1;
+    for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
+    int ncounts = maxc + 1;
+    int nonzero = 0;
+    for (int s = 0; s < ncounts; s++)
+        if (counts[s]) nonzero++;
+    int table_log = fse_optimal_log(max_log, n, nonzero);
+    int32_t probs[64];
+    if (fse_normalize(counts, ncounts, table_log, n, probs) < 0) return -1;
+    int nprobs = ncounts;
+    while (nprobs > 0 && probs[nprobs - 1] == 0) nprobs--;
+    if (fse_enc_make(probs, nprobs, table_log, t) < 0) return -1;
+    uint8_t dbuf[256];
+    ZtBitW dw = {dbuf, 256, 0, 0, 0};
+    if (fse_write_desc(&dw, probs, nprobs, table_log) < 0) return -1;
+    if (predef_tables_init() == 0) {
+        const FseEncT* pre = &g_predef[predef_idx];
+        if (maxc <= pre->nprobs - 1) {
+            int64_t cost_custom = dw.len * 8 + fse_sim_cost(t, codes, n);
+            int64_t cost_pre = fse_sim_cost(pre, codes, n);
+            if (cost_pre <= cost_custom) {
+                *t = *pre;
+                return 0;  // MODE_PREDEFINED
+            }
+        }
+    }
+    // append desc bytes (dw is byte-aligned)
+    for (int64_t i = 0; i < dw.len; i++)
+        if (bw_put(tw, dbuf[i], 8) < 0) return -1;
+    return 2;  // MODE_FSE
+}
+
+// --- Huffman table description (huff0_enc.py) ------------------------------
+
+struct HuffEncT {
+    int32_t valid;        // 1 when a table is held
+    int32_t nlens;        // last_symbol + 1
+    int32_t max_bits;
+    uint8_t lens[256];
+    uint32_t codes[256];
+    int32_t weights[256];  // incl. implied last
+};
+
+// decode the FSE-compressed weight blob (oracle/huff0.py::read_weights FSE
+// branch; mirrors zt_huff_parse) — used to VERIFY the 2-state encode.
+static int huff_weights_decode_fse(const uint8_t* payload, int64_t comp,
+                                   int32_t* w_out) {
+    int32_t probs[300];
+    int32_t m[3];
+    if (fse_read_probs(payload, comp, 6, probs, m) < 0) return -1;
+    uint8_t sym[64];
+    uint16_t base[64];
+    uint8_t nb[64];
+    if (zt_fse_build_table(probs, m[1], m[0], sym, base, nb) < 0) return -1;
+    RevBits rb;
+    if (rev_init(&rb, payload + m[2], comp - m[2]) != 0) return -1;
+    int acc = m[0];
+    uint32_t s1 = (uint32_t)rev_get(&rb, acc);
+    uint32_t s2 = (uint32_t)rev_get(&rb, acc);
+    int nw = 0;
+    for (;;) {
+        w_out[nw++] = sym[s1];
+        s1 = base[s1] + (uint32_t)rev_get(&rb, nb[s1]);
+        if (rb.pos < 0) {
+            w_out[nw++] = sym[s2];
+            break;
+        }
+        w_out[nw++] = sym[s2];
+        s2 = base[s2] + (uint32_t)rev_get(&rb, nb[s2]);
+        if (rb.pos < 0) {
+            w_out[nw++] = sym[s1];
+            break;
+        }
+        if (nw > 255) return -1;
+    }
+    if (nw > 255) return -1;
+    return nw;
+}
+
+// huff0_enc.py::_fse_compress_weights: two interleaved FSE states over the
+// weight list, verified by decode. Returns blob length or -1 (caller uses
+// the direct representation).
+static int64_t huff_fse_weights(const int32_t* weights, int n, uint8_t* out,
+                                int64_t cap) {
+    int64_t counts[64] = {0};
+    int maxw = 0;
+    for (int i = 0; i < n; i++) {
+        if (weights[i] > 12) return -1;
+        counts[weights[i]]++;
+        if (weights[i] > maxw) maxw = weights[i];
+    }
+    int num_symbols = maxw + 1;
+    if (num_symbols < 2 || n < 2) return -1;
+    int table_log = fse_optimal_log(6, n, num_symbols);
+    int32_t probs[64];
+    if (fse_normalize(counts, num_symbols, table_log, n, probs) < 0)
+        return -1;
+    FseEncT t;
+    if (fse_enc_make(probs, num_symbols, table_log, &t) < 0) return -1;
+    ZtBitW w = {out, cap, 0, 0, 0};
+    if (fse_write_desc(&w, probs, num_symbols, table_log) < 0) return -1;
+    int32_t st1, st2;
+    if (n % 2 == 0) {
+        st2 = fse_init_state(&t, weights[n - 1]);
+        st1 = fse_init_state(&t, weights[n - 2]);
+    } else {
+        st1 = fse_init_state(&t, weights[n - 1]);
+        st2 = fse_init_state(&t, weights[n - 2]);
+    }
+    for (int i = n - 3; i >= 0; i--) {
+        int32_t* st = (i % 2 == 0) ? &st1 : &st2;
+        if (fse_enc_sym(&t, st, weights[i], &w) < 0) return -1;
+    }
+    if (bw_put(&w, (uint64_t)(uint32_t)st2, table_log) < 0) return -1;
+    if (bw_put(&w, (uint64_t)(uint32_t)st1, table_log) < 0) return -1;
+    if (bw_put(&w, 1, 1) < 0) return -1;
+    if (bw_pad_byte(&w) < 0) return -1;
+    // verify by decoding (2-state termination can mis-terminate when a
+    // transition consumes zero bits)
+    int32_t got[300];
+    int nw = huff_weights_decode_fse(out, w.len, got);
+    if (nw != n) return -1;
+    for (int i = 0; i < n; i++)
+        if (got[i] != weights[i]) return -1;
+    return w.len;
+}
+
+// huff0_enc.py::write_table_description. Appends to `o`; returns 0/-1.
+static int huff_write_desc(const HuffEncT* t, ZtOutBuf* o) {
+    int n = t->nlens - 1;  // weights[:-1], last implied
+    int64_t direct_size = 1 + (n + 1) / 2;
+    if (n > 16) {
+        uint8_t fbuf[512];
+        int64_t flen = huff_fse_weights(t->weights, n, fbuf, 512);
+        if (flen >= 0 && flen + 1 < direct_size) {
+            if (ob_byte(o, (uint8_t)flen) < 0) return -1;
+            return ob_put(o, fbuf, flen);
+        }
+    }
+    if (n > 127) return -1;
+    if (ob_byte(o, (uint8_t)(127 + n)) < 0) return -1;
+    for (int i = 0; i + 1 < n; i += 2)
+        if (ob_byte(o, (uint8_t)((t->weights[i] << 4) | t->weights[i + 1])) < 0)
+            return -1;
+    if (n % 2)
+        if (ob_byte(o, (uint8_t)(t->weights[n - 1] << 4)) < 0) return -1;
+    return 0;
+}
+
+static int64_t huff_desc_size(const HuffEncT* t) {
+    uint8_t tmp[600];
+    ZtOutBuf o = {tmp, 600, 0};
+    if (huff_write_desc(t, &o) < 0) return -1;
+    return o.len;
+}
+
+// block_enc.py::_stream_payload_bytes
+static int64_t huff_payload_bytes(const HuffEncT* t, const uint8_t* lits,
+                                  int64_t n, bool four) {
+    if (!four) {
+        int64_t bits = 0;
+        for (int64_t i = 0; i < n; i++) bits += t->lens[lits[i]];
+        return (bits + 1 + 7) / 8;
+    }
+    int64_t split = (n + 3) / 4;
+    int64_t total = 6;
+    for (int64_t s = 0; s < n; s += split) {
+        int64_t e = s + split < n ? s + split : n;
+        int64_t bits = 0;
+        for (int64_t i = s; i < e; i++) bits += t->lens[lits[i]];
+        total += (bits + 1 + 7) / 8;
+    }
+    return total;
+}
+
+// block_enc.py::_lit_header / _lit_header_byte / _lit_header_compressed /
+// _raw_header_len
+static int64_t raw_header_len(int64_t n) {
+    return n <= 31 ? 1 : (n <= 4095 ? 2 : 3);
+}
+static int lit_header(ZtOutBuf* o, int lit_type, int64_t regen) {
+    if (regen <= 31) return ob_byte(o, (uint8_t)(lit_type | (regen << 3)));
+    if (regen <= 4095) {
+        uint32_t v = (uint32_t)(lit_type | (1 << 2) | (regen << 4));
+        uint8_t b[2] = {(uint8_t)v, (uint8_t)(v >> 8)};
+        return ob_put(o, b, 2);
+    }
+    if (regen >= ((int64_t)1 << 20)) return -1;
+    uint32_t v = (uint32_t)(lit_type | (3 << 2) | (regen << 4));
+    uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+    return ob_put(o, b, 3);
+}
+static int lit_header_compressed(uint8_t* out, int lit_type, int64_t regen,
+                                 int64_t comp, bool four) {
+    // returns header length or -1 when unrepresentable
+    if (!four) {
+        if (regen > 1023 || comp > 1023) return -1;
+        uint32_t v = (uint32_t)(lit_type | (0 << 2) | (regen << 4)
+                                | (comp << 14));
+        out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8);
+        out[2] = (uint8_t)(v >> 16);
+        return 3;
+    }
+    if (regen <= 1023 && comp <= 1023) {
+        uint32_t v = (uint32_t)(lit_type | (1 << 2) | (regen << 4)
+                                | (comp << 14));
+        out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8);
+        out[2] = (uint8_t)(v >> 16);
+        return 3;
+    }
+    if (regen <= (1 << 14) - 1 && comp <= (1 << 14) - 1) {
+        uint32_t v = (uint32_t)(lit_type | (2 << 2) | (regen << 4)
+                                | (comp << 18));
+        out[0] = (uint8_t)v; out[1] = (uint8_t)(v >> 8);
+        out[2] = (uint8_t)(v >> 16); out[3] = (uint8_t)(v >> 24);
+        return 4;
+    }
+    if (regen <= (1 << 18) - 1 && comp <= (1 << 18) - 1) {
+        uint64_t v = (uint64_t)lit_type | (3 << 2)
+                     | ((uint64_t)regen << 4) | ((uint64_t)comp << 22);
+        for (int i = 0; i < 5; i++) out[i] = (uint8_t)(v >> (8 * i));
+        return 5;
+    }
+    return -1;
+}
+
+// encode one huffman stream via zt_huff_encode_stream into o
+static int64_t huff_stream_into(const HuffEncT* t, const uint8_t* data,
+                                int64_t n, ZtOutBuf* o) {
+    int64_t r = zt_huff_encode_stream(data, n, t->codes, t->lens,
+                                      o->buf + o->len, o->cap - o->len);
+    if (r < 0) return -1;
+    o->len += r;
+    return r;
+}
+
+// block_enc.py::encode_literals_section. `prev` is the frame's Treeless
+// state (mutated to the section's out_table). Returns 0 / -1 (capacity) /
+// -99 (internal cost-model mismatch; caller falls back to Python).
+static int lit_section(const uint8_t* lits, int64_t n, ZtOutBuf* o,
+                       HuffEncT* prev, uint8_t* scratch, int64_t scratch_cap) {
+    const int LIT_RAW = 0, LIT_RLE = 1, LIT_COMPRESSED = 2, LIT_TREELESS = 3;
+    if (n == 0)
+        return ob_byte(o, (uint8_t)LIT_RAW);
+    bool rle = true;
+    for (int64_t i = 1; i < n; i++)
+        if (lits[i] != lits[0]) { rle = false; break; }
+    if (rle) {
+        if (lit_header(o, LIT_RLE, n) < 0) return -1;
+        return ob_byte(o, lits[0]);
+    }
+    if (n > 63) {
+        int64_t counts[256] = {0};
+        int maxb = 0;
+        for (int64_t i = 0; i < n; i++) {
+            counts[lits[i]]++;
+            if (lits[i] > maxb) maxb = lits[i];
+        }
+        bool four = n >= 256;
+        HuffEncT newt;
+        newt.valid = 0;
+        int64_t cost_new = (int64_t)1 << 62;
+        int64_t desc_len = -1;
+        {
+            int32_t meta[2];
+            uint8_t lens8[256];
+            uint32_t codes32[256];
+            int32_t weights[256];
+            if (zt_huff_enc_build(counts, codes32, lens8, weights, meta) == 0) {
+                newt.valid = 1;
+                newt.max_bits = meta[0];
+                newt.nlens = meta[1] + 1;
+                memcpy(newt.lens, lens8, 256);
+                memcpy(newt.codes, codes32, 256 * 4);
+                memcpy(newt.weights, weights, 256 * 4);
+                desc_len = huff_desc_size(&newt);
+                if (desc_len >= 0)
+                    cost_new = desc_len + huff_payload_bytes(&newt, lits, n,
+                                                             four);
+                else
+                    newt.valid = 0;
+            }
+        }
+        int64_t cost_reuse = (int64_t)1 << 62;
+        if (prev->valid && maxb < prev->nlens) {
+            bool ok = true;
+            for (int b = 0; b <= maxb && ok; b++)
+                if (counts[b] && prev->lens[b] == 0) ok = false;
+            if (ok)
+                cost_reuse = huff_payload_bytes(prev, lits, n, four);
+        }
+        const HuffEncT* table = nullptr;
+        int lit_type = LIT_COMPRESSED;
+        if (cost_reuse < cost_new) {
+            table = prev;
+            lit_type = LIT_TREELESS;
+        } else if (newt.valid) {
+            table = &newt;
+            lit_type = LIT_COMPRESSED;
+        }
+        int64_t comp = cost_reuse < cost_new ? cost_reuse : cost_new;
+        if (table != nullptr) {
+            // build payload into scratch: [desc?] + streams
+            ZtOutBuf p = {scratch, scratch_cap, 0};
+            if (lit_type == LIT_COMPRESSED) {
+                if (huff_write_desc(table, &p) < 0) return -1;
+            }
+            if (!four) {
+                if (huff_stream_into(table, lits, n, &p) < 0) return -1;
+            } else {
+                int64_t split = (n + 3) / 4;
+                int64_t jump_at = p.len;
+                uint8_t zeros[6] = {0};
+                if (ob_put(&p, zeros, 6) < 0) return -1;
+                int64_t lens3[3];
+                for (int part = 0; part < 4; part++) {
+                    int64_t s = part * split;
+                    int64_t e = s + split < n ? s + split : n;
+                    if (s > n) s = n;
+                    if (e < s) e = s;
+                    int64_t r = huff_stream_into(table, lits + s, e - s, &p);
+                    if (r < 0) return -1;
+                    if (part < 3) {
+                        if (r > 0xFFFF) return -1;
+                        lens3[part] = r;
+                    }
+                }
+                for (int part = 0; part < 3; part++) {
+                    p.buf[jump_at + 2 * part] = (uint8_t)lens3[part];
+                    p.buf[jump_at + 2 * part + 1] = (uint8_t)(lens3[part] >> 8);
+                }
+            }
+            if (p.len != comp) return -99;  // cost model mismatch
+            uint8_t hdr[5];
+            int hl = lit_header_compressed(hdr, lit_type, n, comp, four);
+            if (hl > 0 && hl + comp < 1 + raw_header_len(n) + n) {
+                if (ob_put(o, hdr, hl) < 0) return -1;
+                if (ob_put(o, p.buf, p.len) < 0) return -1;
+                if (lit_type == LIT_COMPRESSED) *prev = newt;
+                return 0;
+            }
+        }
+    }
+    if (lit_header(o, LIT_RAW, n) < 0) return -1;
+    return ob_put(o, lits, n);
+}
+
+// block_enc.py::_seqnum_varint
+static int seqnum_varint(ZtOutBuf* o, int64_t n) {
+    if (n < 128) return ob_byte(o, (uint8_t)n);
+    if (n < 0x7F00) {
+        uint8_t b[2] = {(uint8_t)((n >> 8) + 128), (uint8_t)(n & 0xFF)};
+        return ob_put(o, b, 2);
+    }
+    if (n - 0x7F00 > 0xFFFF) return -1;
+    int64_t v = n - 0x7F00;
+    uint8_t b[3] = {255, (uint8_t)(v & 0xFF), (uint8_t)(v >> 8)};
+    return ob_put(o, b, 3);
+}
+
+// block_enc.py::encode_sequences_section_arrays (triples already made)
+static int seq_section(const int32_t* llv, const int32_t* mlv,
+                       const int32_t* ofv, int64_t m, ZtOutBuf* o,
+                       int32_t* cscratch /* >= 3*m */) {
+    const int MODE_RLE = 1;
+    if (seqnum_varint(o, m) < 0) return -1;
+    if (m == 0) return 0;
+    int32_t* llc = cscratch;
+    int32_t* mlc = cscratch + m;
+    int32_t* ofc = cscratch + 2 * m;
+    auto code_in = [](const int32_t* base, int32_t ncodes, int64_t v) -> int {
+        int lo = 0, hi = ncodes;
+        while (lo < hi) {
+            int mid = (lo + hi) >> 1;
+            if (base[mid] <= v) lo = mid + 1; else hi = mid;
+        }
+        return lo - 1;
+    };
+    for (int64_t i = 0; i < m; i++) {
+        llc[i] = code_in(ZT_LL_BASE, 36, llv[i]);
+        mlc[i] = code_in(ZT_ML_BASE, 53, mlv[i]);
+        ofc[i] = 63 - __builtin_clzll((uint64_t)ofv[i]);
+    }
+    uint8_t tbuf[1024];
+    ZtBitW tw = {tbuf, 1024, 0, 0, 0};
+    FseEncT ll_t = {}, of_t = {}, ml_t = {};
+    int ll_rle = 0, of_rle = 0, ml_rle = 0;
+    int ll_mode = mode_and_table(llc, m, ZT_LL_MAX_LOG, 0, &tw, &ll_t,
+                                 &ll_rle);
+    if (ll_mode < 0) return -2;
+    int of_mode = mode_and_table(ofc, m, ZT_OF_MAX_LOG, 1, &tw, &of_t,
+                                 &of_rle);
+    if (of_mode < 0) return -2;
+    int ml_mode = mode_and_table(mlc, m, ZT_ML_MAX_LOG, 2, &tw, &ml_t,
+                                 &ml_rle);
+    if (ml_mode < 0) return -2;
+    if (tw.nbits != 0) return -2;  // descriptions are byte-aligned
+    // wire modes: 0 predef, 1 rle, 2 fse (constants.py MODE_*)
+    if (ob_byte(o, (uint8_t)((ll_mode << 6) | (of_mode << 4)
+                             | (ml_mode << 2))) < 0) return -1;
+    if (ob_put(o, tbuf, tw.len) < 0) return -1;
+    int en_ll = ll_mode != MODE_RLE, en_of = of_mode != MODE_RLE,
+        en_ml = ml_mode != MODE_RLE;
+    int64_t r = zt_encode_seq_stream(
+        llv, mlv, ofv, m,
+        ZT_LL_BASE, 36, ZT_LL_BITS, ZT_ML_BASE, 53, ZT_ML_BITS,
+        en_ll, ll_t.dnb, ll_t.dfs, ll_t.ns, ll_t.table_log,
+        en_of, of_t.dnb, of_t.dfs, of_t.ns, of_t.table_log,
+        en_ml, ml_t.dnb, ml_t.dfs, ml_t.ns, ml_t.table_log,
+        o->buf + o->len, o->cap - o->len);
+    if (r < 0) return -1;
+    o->len += r;
+    return 0;
+}
+
+// --- whole-block compressor ------------------------------------------------
+
+struct ZtEncWs {
+    int32_t* hash;     // 1 << 16
+    int32_t* recs;     // 6 * rec_cap (ll, off, ml, tll, tml, tofv)
+    int32_t* cscratch; // 3 * rec_cap
+    uint8_t* lits;
+    uint8_t* scratch;  // literal payload build
+    uint8_t* blockout;
+    int64_t rec_cap, lit_cap, scratch_cap, block_cap;
+};
+
+static int enc_ws_init(ZtEncWs* ws, int64_t block_size) {
+    ws->rec_cap = block_size / 5 + 16;
+    ws->lit_cap = block_size + 16;
+    ws->scratch_cap = block_size + (block_size >> 1) + 4096;
+    ws->block_cap = 2 * block_size + 4096;
+    ws->hash = (int32_t*)malloc((size_t)(1 << 16) * 4);
+    ws->recs = (int32_t*)malloc((size_t)(6 * ws->rec_cap) * 4);
+    ws->cscratch = (int32_t*)malloc((size_t)(3 * ws->rec_cap) * 4);
+    ws->lits = (uint8_t*)malloc((size_t)ws->lit_cap);
+    ws->scratch = (uint8_t*)malloc((size_t)ws->scratch_cap);
+    ws->blockout = (uint8_t*)malloc((size_t)ws->block_cap);
+    if (!ws->hash || !ws->recs || !ws->cscratch || !ws->lits || !ws->scratch
+        || !ws->blockout)
+        return -1;
+    return 0;
+}
+
+static void enc_ws_free(ZtEncWs* ws) {
+    free(ws->hash); free(ws->recs); free(ws->cscratch);
+    free(ws->lits); free(ws->scratch); free(ws->blockout);
+}
+
+// block_enc.py::compress_block (native-arrays branch). Emits the block
+// CONTENT into ws->blockout; returns its length, 0 when compression does
+// not pay (caller emits Raw), or <0 on internal error (caller falls back
+// to the Python path). hist/huff are mutated; the caller owns commit
+// semantics (frame_enc.py::_write_block copies, commits on emit).
+static int64_t compress_block_c(const uint8_t* block, int64_t n,
+                                int64_t* hist, HuffEncT* huff, ZtEncWs* ws) {
+    int32_t* ll = ws->recs;
+    int32_t* off = ws->recs + ws->rec_cap;
+    int32_t* ml = ws->recs + 2 * ws->rec_cap;
+    int64_t nrec = zt_find_sequences(block, n, ll, off, ml, ws->rec_cap,
+                                     ws->hash);
+    if (nrec < 0) return -2;
+    // literals: the non-matched spans in order
+    int64_t lp = 0, pos = 0;
+    for (int64_t i = 0; i < nrec; i++) {
+        memcpy(ws->lits + lp, block + pos, (size_t)ll[i]);
+        lp += ll[i];
+        pos += ll[i] + ml[i];
+    }
+    ZtOutBuf o = {ws->blockout, ws->block_cap, 0};
+    if (lit_section(ws->lits, lp, &o, huff, ws->scratch, ws->scratch_cap) < 0)
+        return -3;
+    int32_t* tll = ws->recs + 3 * ws->rec_cap;
+    int32_t* tml = ws->recs + 4 * ws->rec_cap;
+    int32_t* tofv = ws->recs + 5 * ws->rec_cap;
+    int64_t m = zt_make_triples(ll, off, ml, nrec, hist, 1, tll, tml, tofv);
+    if (seq_section(tll, tml, tofv, m, &o, ws->cscratch) < 0) return -4;
+    if (o.len >= n) return 0;  // does not pay; Raw block
+    return o.len;
+}
+
+// Streaming per-block entry (frame_enc.py::_write_block fast path).
+// huff_state: int32[771] = {valid, nlens, max_bits, lens[256], codes[256],
+// weights[256]} (codes stored bit-identical in int32 slots). Mutated in
+// place; the caller owns commit semantics.
+int64_t zt_compress_block2(const uint8_t* block, int64_t n,
+                           int64_t* hist, int32_t* huff_state,
+                           uint8_t* out, int64_t cap) {
+    ZtEncWs ws;
+    if (enc_ws_init(&ws, n) < 0) { enc_ws_free(&ws); return -1; }
+    HuffEncT huff;
+    huff.valid = huff_state[0];
+    huff.nlens = huff_state[1];
+    huff.max_bits = huff_state[2];
+    for (int i = 0; i < 256; i++) {
+        huff.lens[i] = (uint8_t)huff_state[3 + i];
+        huff.codes[i] = (uint32_t)huff_state[259 + i];
+        huff.weights[i] = huff_state[515 + i];
+    }
+    int64_t r = compress_block_c(block, n, hist, &huff, &ws);
+    if (r > 0) {
+        if (r > cap) { enc_ws_free(&ws); return -1; }
+        memcpy(out, ws.blockout, (size_t)r);
+    }
+    huff_state[0] = huff.valid;
+    huff_state[1] = huff.nlens;
+    huff_state[2] = huff.max_bits;
+    for (int i = 0; i < 256; i++) {
+        huff_state[3 + i] = huff.lens[i];
+        huff_state[259 + i] = (int32_t)huff.codes[i];
+        huff_state[515 + i] = huff.weights[i];
+    }
+    enc_ws_free(&ws);
+    return r;
+}
+
+// Whole-frame compressor (frame_enc.py::compress with matcher None).
+// level: 0 = UNCOMPRESSED, 1 = FASTEST. Returns frame length or <0.
+int64_t zt_compress_frame(const uint8_t* data, int64_t n,
+                          int32_t window_log, int32_t checksum,
+                          int32_t level, uint8_t* out, int64_t cap) {
+    const int64_t BLOCK = 128 * 1024;
+    const int BLOCK_RAW = 0, BLOCK_RLE = 1, BLOCK_COMPRESSED = 2;
+    if (window_log < 10 || window_log > 41) return -1;
+    ZtOutBuf o = {out, cap, 0};
+    uint8_t hdr[6] = {0x28, 0xB5, 0x2F, 0xFD,
+                      (uint8_t)(checksum ? 0x04 : 0x00),
+                      (uint8_t)((window_log - 10) << 3)};
+    if (ob_put(&o, hdr, 6) < 0) return -1;
+
+    ZtEncWs ws;
+    if (enc_ws_init(&ws, BLOCK < n ? BLOCK : (n > 0 ? n : 1)) < 0) {
+        enc_ws_free(&ws);
+        return -1;
+    }
+    int64_t hist[3] = {1, 4, 8};
+    HuffEncT huff;
+    huff.valid = 0;
+    huff.nlens = 0;
+    huff.max_bits = 0;
+    int rc = 0;
+    int64_t offp = 0;
+    bool first = true;
+    while (first || offp < n) {
+        int64_t bn = n - offp < BLOCK ? n - offp : BLOCK;
+        const uint8_t* block = data + offp;
+        bool last = offp + bn >= n;
+        first = false;
+        if (bn == 0) {
+            uint32_t v = 1 | (BLOCK_RAW << 1);
+            uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+            if (ob_put(&o, b, 3) < 0) { rc = -1; break; }
+            offp += bn;
+            continue;
+        }
+        if (level == 0) {
+            uint32_t v = (uint32_t)((last ? 1 : 0) | (BLOCK_RAW << 1)
+                                    | (bn << 3));
+            uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+            if (ob_put(&o, b, 3) < 0 || ob_put(&o, block, bn) < 0) {
+                rc = -1;
+                break;
+            }
+            offp += bn;
+            continue;
+        }
+        bool rle = true;
+        for (int64_t i = 1; i < bn; i++)
+            if (block[i] != block[0]) { rle = false; break; }
+        if (rle) {
+            uint32_t v = (uint32_t)((last ? 1 : 0) | (BLOCK_RLE << 1)
+                                    | (bn << 3));
+            uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+            if (ob_put(&o, b, 3) < 0 || ob_byte(&o, block[0]) < 0) {
+                rc = -1;
+                break;
+            }
+            offp += bn;
+            continue;
+        }
+        int64_t hist_c[3] = {hist[0], hist[1], hist[2]};
+        HuffEncT huff_c = huff;
+        int64_t r = compress_block_c(block, bn, hist_c, &huff_c, &ws);
+        if (r < 0) { rc = (int)r; break; }
+        if (r > 0 && r < bn) {
+            uint32_t v = (uint32_t)((last ? 1 : 0) | (BLOCK_COMPRESSED << 1)
+                                    | (r << 3));
+            uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+            if (ob_put(&o, b, 3) < 0 || ob_put(&o, ws.blockout, r) < 0) {
+                rc = -1;
+                break;
+            }
+            hist[0] = hist_c[0]; hist[1] = hist_c[1]; hist[2] = hist_c[2];
+            huff = huff_c;
+        } else {
+            uint32_t v = (uint32_t)((last ? 1 : 0) | (BLOCK_RAW << 1)
+                                    | (bn << 3));
+            uint8_t b[3] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16)};
+            if (ob_put(&o, b, 3) < 0 || ob_put(&o, block, bn) < 0) {
+                rc = -1;
+                break;
+            }
+        }
+        offp += bn;
+    }
+    enc_ws_free(&ws);
+    if (rc < 0) return rc;
+    if (checksum) {
+        uint64_t h = zt_xxh64(data, (uint64_t)n);
+        uint8_t b[4] = {(uint8_t)h, (uint8_t)(h >> 8), (uint8_t)(h >> 16),
+                        (uint8_t)(h >> 24)};
+        if (ob_put(&o, b, 4) < 0) return -1;
+    }
+    return o.len;
 }
 
 }  // extern "C"

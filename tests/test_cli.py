@@ -60,3 +60,14 @@ def test_progress_reader_counts_and_reports():
     pr.finish()
     assert pr.done == 100000
     assert "MB/s" in sink.getvalue()
+
+
+def test_cli_compress_content_size(tmp_path):
+    data = _data(300_000, seed=5)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    z = tmp_path / "in.bin.zst"
+    assert main(["compress", str(src), str(z), "-l", "1", "-C"]) == 0
+    blob = z.read_bytes()
+    assert zstandard.get_frame_parameters(blob).content_size == len(data)
+    assert zstandard.ZstdDecompressor().decompress(blob) == data

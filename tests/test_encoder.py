@@ -94,3 +94,40 @@ def test_encode_corpus_roundtrip_uncompressed():
             data = f.read()
         z = compress_to_vec(data, CompressionLevel.UNCOMPRESSED)
         both_decoders_agree(z, data)
+
+
+@pytest.mark.parametrize("n", [0, 1, 255, 256, 65791, 65792, 300_000])
+def test_fcs_emission_roundtrip(n):
+    """write_content_size emits a minified FCS (RFC 8878 §3.1.1.1.4) that
+    libzstd reports back exactly; both native and Python paths agree
+    byte-for-byte. An extension over the reference (its compressor never
+    writes FCS — frame_compressor.rs:144-151)."""
+    import os as _os
+
+    from zstd_tpu.common.config import CodecConfig
+
+    rng = random.Random(n)
+    data = bytes(rng.randrange(48, 64) for _ in range(n))
+    cfg = CodecConfig(write_content_size=True)
+    z = compress_to_vec(data, CompressionLevel.FASTEST, cfg)
+    # header carries the exact content size
+    assert zstandard.get_frame_parameters(z).content_size == n
+    both_decoders_agree(z, data)
+    # native and pure-Python emitters byte-identical
+    _os.environ["ZT_NO_NATIVE"] = "1"
+    try:
+        z_py = compress_to_vec(data, CompressionLevel.FASTEST, cfg)
+    finally:
+        del _os.environ["ZT_NO_NATIVE"]
+    assert z_py == z
+
+
+def test_fcs_streaming_pledge_mismatch_raises():
+    import io
+
+    from zstd_tpu.common.errors import EncodeError
+    from zstd_tpu.encoding.frame_enc import compress
+
+    with pytest.raises(EncodeError):
+        compress(io.BytesIO(b"x" * 100), io.BytesIO(),
+                 CompressionLevel.FASTEST, content_size=99)

@@ -72,6 +72,9 @@ def cmd_compress(args) -> int:
         from zstd_tpu.encoding.device_matcher import DeviceMatcher
         from zstd_tpu.models.batch_encoder import BatchEncoder
 
+        if args.content_size:
+            sys.stderr.write("--content-size is not supported with --tpu "
+                             "(device frames omit FCS); ignoring\n")
         enc = BatchEncoder(CodecConfig(level=level), matcher=DeviceMatcher())
         (z,) = enc.compress_frames([data])
         with open(out_path, "wb") as f:
@@ -84,7 +87,8 @@ def cmd_compress(args) -> int:
 
         with open(args.input, "rb") as src, open(out_path, "wb") as dst:
             prog = ProgressReader(src, total, "compress")
-            compress_stream(prog, dst, level)
+            compress_stream(prog, dst, level,
+                            content_size=total if args.content_size else None)
             prog.finish()
             n_in, n_out = prog.done, dst.tell()
     dt = time.time() - t0
@@ -182,6 +186,8 @@ def main(argv=None) -> int:
     c.add_argument("-l", "--level", type=int, default=1, choices=sorted(_LEVELS))
     c.add_argument("--tpu", action="store_true",
                    help="device match finding + batched entropy coding")
+    c.add_argument("-C", "--content-size", action="store_true",
+                   help="record the content size in the frame header")
     c.set_defaults(fn=cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a file")

@@ -37,6 +37,10 @@ class CodecConfig:
     level: CompressionLevel = CompressionLevel.FASTEST
     write_checksum: bool = True
     window_log: int = 17               # 128 KiB matcher window like the reference
+    # Emit the frame content size in the header (minified per RFC 8878
+    # §3.1.1.1.4). Off by default: the reference's compressor never writes
+    # FCS (frame_compressor.rs:144-151), and the ratio gates pin that form.
+    write_content_size: bool = False
 
     def clamp_window(self, requested: int) -> int:
         return min(requested, constants.MAX_WINDOW_SIZE)

@@ -2,8 +2,9 @@
 no-expansion guarantees, and content checksums.
 
 Capability parity with /root/reference/ruzstd/src/encoding/frame_compressor.rs
-and frame_header.rs: magic + descriptor byte + window descriptor (no FCS, like
-the reference), 128 KiB block loop, level dispatch (Uncompressed → raw blocks;
+and frame_header.rs: magic + descriptor byte + window descriptor (plus an
+optional minified FCS — an extension; the reference never emits one),
+128 KiB block loop, level dispatch (Uncompressed → raw blocks;
 Fastest → RLE/compressed/raw per block, emitting Compressed only when strictly
 smaller), empty-input zero-size raw last block, and the 4-byte xxhash64-low-32
 content checksum.
@@ -27,13 +28,37 @@ def _window_descriptor(window_log: int) -> int:
     return (window_log - 10) << 3  # mantissa 0
 
 
-def _frame_header(window_log: int, checksum: bool) -> bytes:
+def _frame_header(window_log: int, checksum: bool,
+                  content_size: int | None = None) -> bytes:
+    """Magic + descriptor (+ window descriptor) (+ minified FCS).
+
+    The reference never emits FCS (frame_header.rs writes fcs only when
+    set, and frame_compressor.rs:144-151 never sets it); emitting it is an
+    extension — the minimal-width rules are RFC 8878 §3.1.1.1.1-.4
+    (util.rs `find_min_size`/`minify_val` analog): content < 256 uses the
+    single-segment 1-byte form (window = FCS, no window descriptor),
+    256..65791 the 2-byte form storing size-256, then 4/8 bytes.
+    """
     out = bytearray(C.MAGIC_NUM.to_bytes(4, "little"))
     descriptor = 0
     if checksum:
         descriptor |= 0x04
-    out.append(descriptor)
-    out.append(_window_descriptor(window_log))
+    if content_size is None:
+        out.append(descriptor)
+        out.append(_window_descriptor(window_log))
+    elif content_size < 256:
+        out.append(descriptor | 0x20)  # single-segment
+        out.append(content_size)
+    else:
+        if content_size <= 0xFFFF + 256:
+            flag, nb, val = 0x40, 2, content_size - 256
+        elif content_size <= 0xFFFFFFFF:
+            flag, nb, val = 0x80, 4, content_size
+        else:
+            flag, nb, val = 0xC0, 8, content_size
+        out.append(descriptor | flag)
+        out.append(_window_descriptor(window_log))
+        out += val.to_bytes(nb, "little")
     return bytes(out)
 
 
@@ -64,9 +89,17 @@ class FrameCompressor:
     def set_compression_level(self, level: CompressionLevel) -> None:
         self.config = CodecConfig(**{**self.config.__dict__, "level": level})
 
-    def compress(self) -> None:
+    def compress(self, content_size: int | None = None) -> None:
+        """content_size: known total source length; when given (or when
+        cfg.write_content_size demands it) the frame header carries a
+        minified FCS field and the actual byte count is verified against
+        it at the end."""
         if self.source is None or self.drain is None:
             raise EncodeError("source and drain must be set before compress()")
+        if content_size is None and self.config.write_content_size:
+            raise EncodeError(
+                "write_content_size=True needs compress(content_size=...) "
+                "on the streaming API (FCS is in the header)")
         cfg = self.config
         level = cfg.level
         if level not in (CompressionLevel.UNCOMPRESSED, CompressionLevel.FASTEST):
@@ -91,9 +124,11 @@ class FrameCompressor:
         hasher = Xxh64() if cfg.write_checksum else None
         window_log = (self.matcher.window_size().bit_length() - 1
                       if self.matcher is not None else cfg.window_log)
-        self.drain.write(_frame_header(window_log, cfg.write_checksum))
+        self.drain.write(_frame_header(window_log, cfg.write_checksum,
+                                       content_size))
 
         first = True
+        written = 0
         while True:
             block = self.source.read(BLOCK_SIZE)
             if not block and not first:
@@ -104,11 +139,17 @@ class FrameCompressor:
             if hasher is not None:
                 hasher.update(block)
             self._write_block(block, last, level)
+            written += len(block)
             first = False
             if last:
                 break
             # push the peeked byte back by chaining it before further reads
             self.source = _Chain(nxt, self.source)
+
+        if content_size is not None and written != content_size:
+            raise EncodeError(
+                f"source produced {written} bytes, header pledged "
+                f"{content_size} (frame is corrupt)")
 
         if hasher is not None:
             self.drain.write((hasher.digest() & 0xFFFFFFFF).to_bytes(4, "little"))
@@ -168,36 +209,39 @@ class _Chain:
 
 
 def compress(source, drain, level: CompressionLevel = CompressionLevel.FASTEST,
-             config: CodecConfig | None = None) -> None:
+             config: CodecConfig | None = None,
+             content_size: int | None = None) -> None:
     """Mirror of ruzstd's encoding::compress (encoding/mod.rs:24-29)."""
     cfg = config or CodecConfig()
     cfg = CodecConfig(**{**cfg.__dict__, "level": level})
     fc = FrameCompressor(cfg)
     fc.set_source(source)
     fc.set_drain(drain)
-    fc.compress()
+    fc.compress(content_size)
 
 
 def compress_to_vec(data, level: CompressionLevel = CompressionLevel.FASTEST,
                     config: CodecConfig | None = None) -> bytes:
     data = bytes(data)
+    cfg = config or CodecConfig()
+    fcs = len(data) if cfg.write_content_size else None
     if (level in (CompressionLevel.UNCOMPRESSED, CompressionLevel.FASTEST)
             and not os.environ.get("ZT_NO_NATIVE")):
         # One-shot native frame build (no per-block Python/ctypes round
         # trips); byte-identical to the streaming path by construction —
         # the ratio-gate and parity tests pin it.
-        cfg = config or CodecConfig()
         if 10 <= cfg.window_log <= 41:
             try:
                 from zstd_tpu.runtime import compress_frame as _native_frame
 
                 out = _native_frame(
                     data, cfg.window_log, cfg.write_checksum,
-                    1 if level == CompressionLevel.FASTEST else 0)
+                    1 if level == CompressionLevel.FASTEST else 0,
+                    write_fcs=fcs is not None)
             except Exception:
                 out = None
             if out is not None:
                 return out
     out = io.BytesIO()
-    compress(io.BytesIO(data), out, level, config)
+    compress(io.BytesIO(data), out, level, config, content_size=fcs)
     return out.getvalue()

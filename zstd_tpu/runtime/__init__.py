@@ -126,7 +126,7 @@ def get_lib():
     lib.zt_compress_frame.restype = ctypes.c_int64
     lib.zt_compress_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -569,7 +569,7 @@ class BlockCompressor:
 
 
 def compress_frame(data: bytes, window_log: int, checksum: bool,
-                   level: int) -> bytes | None:
+                   level: int, write_fcs: bool = False) -> bytes | None:
     """One-shot native frame compressor (frame_enc.py::compress with no
     matcher). level: 0 = UNCOMPRESSED, 1 = FASTEST. Returns the frame or
     None when the library is unavailable / errored (caller's Python path
@@ -584,6 +584,7 @@ def compress_frame(data: bytes, window_log: int, checksum: bool,
     out = np.empty(cap, np.uint8)
     r = lib.zt_compress_frame(data, len(data), window_log,
                               1 if checksum else 0, level,
+                              1 if write_fcs else 0,
                               out.ctypes.data, cap)
     if r < 0:
         return None

@@ -1989,18 +1989,44 @@ int64_t zt_compress_block2(const uint8_t* block, int64_t n,
 }
 
 // Whole-frame compressor (frame_enc.py::compress with matcher None).
-// level: 0 = UNCOMPRESSED, 1 = FASTEST. Returns frame length or <0.
+// level: 0 = UNCOMPRESSED, 1 = FASTEST. write_fcs != 0 emits the frame
+// content size with the minimal field width (RFC 8878 §3.1.1.1.1-.4:
+// n < 256 -> single-segment 1-byte FCS without a window descriptor,
+// 256..65791 -> 2-byte FCS storing n-256, else 4- or 8-byte FCS).
+// Returns frame length or <0.
 int64_t zt_compress_frame(const uint8_t* data, int64_t n,
                           int32_t window_log, int32_t checksum,
-                          int32_t level, uint8_t* out, int64_t cap) {
+                          int32_t level, int32_t write_fcs,
+                          uint8_t* out, int64_t cap) {
     const int64_t BLOCK = 128 * 1024;
     const int BLOCK_RAW = 0, BLOCK_RLE = 1, BLOCK_COMPRESSED = 2;
     if (window_log < 10 || window_log > 41) return -1;
     ZtOutBuf o = {out, cap, 0};
-    uint8_t hdr[6] = {0x28, 0xB5, 0x2F, 0xFD,
-                      (uint8_t)(checksum ? 0x04 : 0x00),
-                      (uint8_t)((window_log - 10) << 3)};
-    if (ob_put(&o, hdr, 6) < 0) return -1;
+    uint8_t hdr[4] = {0x28, 0xB5, 0x2F, 0xFD};
+    if (ob_put(&o, hdr, 4) < 0) return -1;
+    uint8_t descriptor = checksum ? 0x04 : 0x00;
+    if (!write_fcs) {
+        uint8_t rest[2] = {descriptor, (uint8_t)((window_log - 10) << 3)};
+        if (ob_put(&o, rest, 2) < 0) return -1;
+    } else if (n < 256) {
+        descriptor |= 0x20;  // single-segment: window = FCS, no window byte
+        uint8_t rest[2] = {descriptor, (uint8_t)n};
+        if (ob_put(&o, rest, 2) < 0) return -1;
+    } else {
+        int fcs_bytes;
+        uint64_t fcs_val = (uint64_t)n;
+        if (n <= 0xFFFF + 256) {
+            descriptor |= 0x40; fcs_bytes = 2; fcs_val = (uint64_t)(n - 256);
+        } else if (n <= 0xFFFFFFFFLL) {
+            descriptor |= 0x80; fcs_bytes = 4;
+        } else {
+            descriptor |= 0xC0; fcs_bytes = 8;
+        }
+        uint8_t rest[10] = {descriptor, (uint8_t)((window_log - 10) << 3)};
+        for (int i = 0; i < fcs_bytes; i++)
+            rest[2 + i] = (uint8_t)(fcs_val >> (8 * i));
+        if (ob_put(&o, rest, 2 + fcs_bytes) < 0) return -1;
+    }
 
     ZtEncWs ws;
     if (enc_ws_init(&ws, BLOCK < n ? BLOCK : (n > 0 ? n : 1)) < 0) {

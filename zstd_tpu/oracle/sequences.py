@@ -133,20 +133,30 @@ def decode_sequences(header, data, scratch) -> list[Sequence]:
     return seqs
 
 
+_RT = None
+
+
 def _native_runtime():
-    """The native host runtime, or None (ZT_NO_NATIVE=1 forces Python)."""
+    """The native host runtime, or None (ZT_NO_NATIVE=1 forces Python).
+
+    The module handle is memoized (this sits on the per-block framer path —
+    a repeated importlib round-trip is measurable), but the env gate stays
+    live so tests can toggle ZT_NO_NATIVE mid-process."""
     import os
 
     if os.environ.get("ZT_NO_NATIVE"):
         return None
-    try:
-        from zstd_tpu import runtime
+    global _RT
+    if _RT is None:
+        try:
+            from zstd_tpu import runtime
 
-        if runtime.get_lib() is None:
+            if runtime.get_lib() is None:
+                return None
+            _RT = runtime
+        except Exception:
             return None
-        return runtime
-    except Exception:
-        return None
+    return _RT
 
 
 def decode_and_execute(header, data, scratch, literals) -> bool:

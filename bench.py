@@ -49,7 +49,9 @@ def make_corpus(total_mb: int = 64, frame_kb: int = 128, seed: int = 0):
 
 def bench_longframe(mb: int = 16) -> dict:
     """Single multi-MB frame through the device chained (windowed) path —
-    the enwik-style long-stream scenario the round-1 bench avoided."""
+    the enwik-style long-stream scenario the round-1 bench avoided — plus a
+    serving-style batch of several long frames decoded in LOCKSTEP (the
+    multi-lane windowed kernel advances all chains per step)."""
     import zstandard
 
     from zstd_tpu.models.batch_decoder import BatchDecoder
@@ -69,9 +71,29 @@ def bench_longframe(mb: int = 16) -> dict:
     for _ in range(runs):
         dec.run_device(batch, staged, pull_outputs=False)
     dt = (time.time() - t0) / runs
-    return {"longframe_gbps": round(len(data) / dt / 1e9, 4),
-            "longframe_groups": len(meta.rows),
-            "longframe_correct": correct}
+    res = {"longframe_gbps": round(len(data) / dt / 1e9, 4),
+           "longframe_groups": len(meta.rows),
+           "longframe_correct": correct}
+
+    # lockstep: 4 independent long frames, aggregate throughput
+    comp = zstandard.ZstdCompressor(level=3, write_checksum=False)
+    datas = [b"".join(make_corpus(mb // 2, seed=30 + i)) for i in range(4)]
+    frames = [comp.compress(d) for d in datas]
+    batch = dec.prepare(frames)
+    staged = dec.stage(batch)
+    outputs, out_len, ok = dec.run_device(batch, staged)
+    n = sum(len(d) for d in datas)
+    c4 = all(
+        bool(ok[m.rows[0]]) and len(m.rows) > 1
+        and outputs[m.rows[0]][:len(d)].tobytes() == d
+        for m, d in zip(batch.metas, datas))
+    t0 = time.time()
+    for _ in range(runs):
+        dec.run_device(batch, staged, pull_outputs=False)
+    dt = (time.time() - t0) / runs
+    res.update({"longframe4_gbps": round(n / dt / 1e9, 4),
+                "longframe4_correct": c4})
+    return res
 
 
 def bench_encode(mb: int = 8) -> dict:

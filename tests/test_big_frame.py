@@ -64,3 +64,25 @@ def test_device_single_big_frame():
 
     # and through the public API
     assert decode_all_device(z) == data
+
+
+def test_device_lockstep_multi_chain():
+    """Several chained frames (different lengths and windows) decode
+    together: the lockstep scheduler advances all chains per step in one
+    multi-lane windowed kernel call, plus a small one-row frame riding in
+    the same batch."""
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    payloads = [wiki_like(2 << 20, seed=11),
+                wiki_like(3 << 20, seed=12),
+                b"tiny " * 400,
+                wiki_like((2 << 20) + 12345, seed=13)]
+    frames = [zstandard.ZstdCompressor(level=6).compress(p) for p in payloads]
+
+    dec = BatchDecoder()
+    batch = dec.prepare(frames)
+    chains = [m for m in batch.metas if len(m.rows) > 1]
+    assert len(chains) == 3, "three frames should have chained"
+    assert len({len(m.rows) for m in chains}) > 1, "chain lengths differ"
+    results = dec.decode_frames(frames)
+    assert results == payloads

@@ -318,22 +318,27 @@ def _resolve_chained(ll_full, ml_full, of_full, is_real, init_hist, cont):
     return offsets, out_len, ok, nseq
 
 
-@functools.partial(jax.jit, static_argnames=("gw", "lw", "W", "interpret"))
+@functools.partial(jax.jit, static_argnames=("gw", "lw", "W",
+                                             "lanes_per_step", "interpret"))
 def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
-                      acc, written, r, gw: int, lw: int, W: int,
-                      interpret: bool = False):
-    """Execute one block group of a chained frame: slice the group row,
-    window the accumulator, run the aliased exec kernel, append."""
-    S = ll_full.shape[1]
-    row = lambda a: jax.lax.dynamic_slice(a, (r, 0), (1, S))[0]
-    lits = _unpack_words(
-        jax.lax.dynamic_slice(lit_full, (r, 0), (1, lw // 4)))[0]
-    olen = out_len_all[r]
-    win = jax.lax.dynamic_slice(acc, (written - W,), (W,))
+                      acc, written, rows, gw: int, lw: int, W: int,
+                      lanes_per_step: int = 1, interpret: bool = False):
+    """Execute step-k block groups of L chained frames in LOCKSTEP: gather
+    the group rows, window each frame's accumulator, run the aliased
+    multi-lane exec kernel, append per lane. Lanes of finished chains point
+    at the inert frame row (zero records -> zero-length no-op append)."""
+    L = rows.shape[0]
+    lits = _unpack_words(lit_full[rows][:, :lw // 4])
+    olen = out_len_all[rows]
+    win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,), (W,))
+                     for i in range(L)])
     out_r, ok_r = execute_window_pallas(
-        row(ll_full), row(ml_full), row(offsets), lits, olen, win,
-        written - W, out_width=gw, window=W, interpret=interpret)
-    acc = jax.lax.dynamic_update_slice(acc, out_r, (written,))
+        ll_full[rows], ml_full[rows], offsets[rows], lits, olen, win,
+        written - W, out_width=gw, window=W,
+        lanes_per_step=lanes_per_step, interpret=interpret)
+    for i in range(L):
+        acc = jax.lax.dynamic_update_slice(acc, out_r[i][None, :],
+                                           (i, written[i]))
     return acc, written + olen, ok_r
 
 
@@ -661,29 +666,59 @@ class BatchDecoder:
         # kernel's aliased window prefix (decode_buffer.rs:182-218 analog).
         # The accumulator keeps W lead zero bytes so the window slice start
         # is never clamped.
-        chain_pend = []   # (meta, rows, acc, W, written, okm)
+        chain_pend = []   # (meta, rows, (acc, lane) | None, W, written, okm)
+        chain_live = []
         for m in chained:
             rows = m.rows
             if (max(int(nseq_bound[r]) for r in rows) > MAX_SMEM_SEQS
                     or max(int(bound_h[r]) for r in rows) > (1 << 22)):
                 chain_pend.append((m, rows, None, 0, None, None))
                 continue
-            W = _pow2(max(int(m.window), 1024), lo=1024)
-            total = _pow2(sum(int(bound_h[r]) for r in rows))
-            acc = jnp.zeros(W + total, jnp.uint8)
-            written = jnp.int32(W)
-            okm = jnp.bool_(True)
-            with scope(f"lz77_chain_{len(rows)}x{W}"):
-                for r in rows:
-                    gw = _pow2(max(int(bound_h[r]), 1))
-                    lw = _pow2(max(int(lit_len_h[r]), 4), lo=4)
+            chain_live.append(m)
+        # Independent chains advance in LOCKSTEP (bucketed by window size):
+        # step k executes group k of every live chain in ONE multi-lane
+        # kernel call — cross-lane ILP and per-call overhead amortization,
+        # where the old per-frame loop serialized whole chains.
+        by_w = {}
+        for m in chain_live:
+            by_w.setdefault(_pow2(max(int(m.window), 1024), lo=1024),
+                            []).append(m)
+        for W, metas in sorted(by_w.items()):
+            L = len(metas)
+            max_len = max(len(m.rows) for m in metas)
+            gw_max = _pow2(max(int(bound_h[r])
+                               for m in metas for r in m.rows))
+            accw = (W + gw_max
+                    + max(_pow2(sum(int(bound_h[r]) for r in m.rows))
+                          for m in metas))
+            acc = jnp.zeros((L, accw), jnp.uint8)
+            written = jnp.full((L,), W, jnp.int32)
+            okv = jnp.ones((L,), bool)
+            with scope(f"lz77_chain_{L}x{max_len}x{W}"):
+                for k in range(max_len):
+                    rows_k = [m.rows[k] if k < len(m.rows) else frame_inert
+                              for m in metas]
+                    live_k = [r for r in rows_k if r != frame_inert]
+                    gw = _pow2(max(int(bound_h[r]) for r in live_k))
+                    lw = min(_pow2(max(max(int(lit_len_h[r])
+                                           for r in live_k), 4), lo=4),
+                             lit_full.shape[1] * 4)
+                    # lanes per grid step under the VMEM budget (the kernel
+                    # holds window + group + literals per lane)
+                    per_lane = (W + gw + lw) * 4 + (1 << 16)
+                    li = 1
+                    while (li < 4 and li < L
+                           and (li * 2) * per_lane <= (60 << 20)):
+                        li *= 2
                     acc, written, ok_r = _chain_group_step(
                         ll_full, ml_full, offsets, lit_full, out_len,
-                        acc, written, jnp.int32(r), gw=gw,
-                        lw=min(lw, lit_full.shape[1] * 4), W=W,
+                        acc, written, jnp.asarray(rows_k, jnp.int32),
+                        gw=gw, lw=lw, W=W, lanes_per_step=li,
                         interpret=not pallas_ok)
-                    okm = okm & ok_r
-            chain_pend.append((m, rows, acc, W, written, okm))
+                    okv = okv & ok_r
+            for i, m in enumerate(metas):
+                chain_pend.append((m, m.rows, (acc, i), W,
+                                   written[i], okv[i]))
 
         # single host sync for the whole pipeline
         chain_scalars = [jnp.stack([w_.astype(jnp.int32),
@@ -696,20 +731,26 @@ class BatchDecoder:
         out_len_h = lens_ok_h[:Bf].copy()
         ok_h = lens_ok_h[Bf:2 * Bf].astype(bool)
         cpos = 2 * Bf
-        for (m, rows, acc, W, written, okm) in chain_pend:
+        acc_cache = {}  # pull each lockstep bucket's acc matrix once
+        for (m, rows, a_, W, written, okm) in chain_pend:
             r0 = rows[0]
-            if acc is None:
+            if a_ is None:
                 ok_h[r0] = False
                 continue
+            acc, lane = a_
             total_h = int(lens_ok_h[cpos])
             okm_h = bool(lens_ok_h[cpos + 1])
             cpos += 2
             ok_h[r0] = okm_h and all(bool(ok_h[r]) for r in rows)
             out_len_h[r0] = total_h - W
             if pull_outputs:
-                outputs[r0] = np.asarray(acc)[W:W + max(total_h - W, 0)]
+                key = id(acc)
+                if key not in acc_cache:
+                    acc_cache[key] = np.asarray(acc)
+                outputs[r0] = acc_cache[key][lane,
+                                             W:W + max(total_h - W, 0)]
             else:
-                outputs[r0] = (acc, W)
+                outputs[r0] = (acc, lane, W)
         for lane in host_lanes:
             ok_h[lane] = False  # routed to the host-oracle fallback
         for rows, out_b in pending:

@@ -44,12 +44,39 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+# masked VMEM stores (32-bit) skip the read-modify-write of partial-row
+# writes; not re-exported publicly in this jax version
+from jax._src.pallas.primitives import store as _masked_store
 
-# Sequence-record SMEM capacity (ll/ml/off rows + meta; probed good to
-# 32768 on v5e — scripts/microbench_gather.py). Frames with more sequences
-# (a 128 KiB frame can hold up to ~43K three-byte matches) take the XLA
-# executor instead.
-MAX_SMEM_SEQS = 32768
+# EXPERIMENT (opt-in, ZSTD_TPU_EXEC_MASKED_STORE=1): native masked stores
+# instead of the read-modify-write select. Saves one (rows,128) load + one
+# select per store — NOT yet validated on real TPU (run
+# scripts/validate_pallas_exec.py + corpus_device.py before flipping the
+# default). Interpret mode (CPU tests) executes masked stores pathologically
+# slowly, so it always takes the RMW form. Toggled per pallas_call trace via
+# the _RMW global — `interpret` is a static argname, so each variant traces
+# separately and the flag is read synchronously during tracing.
+_MASKED_ST = os.environ.get("ZSTD_TPU_EXEC_MASKED_STORE", "") == "1"
+_RMW = True
+
+
+def _st(ref, lane, rd, rows: int, val, mask):
+    """Masked partial-row store: read-modify-write by default, native
+    masked store under the opt-in experiment flag."""
+    if _RMW or not _MASKED_ST:
+        cur = ref[lane, pl.ds(rd, rows), :]
+        ref[lane, pl.ds(rd, rows), :] = jnp.where(mask, val, cur)
+    else:
+        _masked_store(ref, (lane, pl.ds(rd, rows), slice(None)), val,
+                      mask=mask)
+
+# Sequence-record cap per lane. Records stream through SMEM in SEQ_CHUNK
+# blocks via the grid (per-step SMEM use is constant), so this only bounds
+# the grid length / record-array width. The framer splits groups at 24K
+# records but a single jumbo block (up to ~43K three-byte matches in
+# 128 KiB) is atomic — 128K covers any group with wide margin. Lanes
+# beyond it take the host/XLA fallback.
+MAX_SMEM_SEQS = 131072
 
 # dev-only ablation switch (see pallas_sequence.py): "fused" | "slow" |
 # "body" skips that part of the per-sequence work
@@ -93,8 +120,7 @@ def _copy_chunked(src_ref, out_ref, lane, sb, db, n, rows_k: int,
         val = jnp.where(jj < 128 - m, rot[0:rows_k], rot[1:rows_k + 1])
         d = 128 * rd + 128 * rr + jj
         mask = (d >= db) & (d < db + n)
-        cur = out_ref[lane, pl.ds(rd, rows_k), :]
-        out_ref[lane, pl.ds(rd, rows_k), :] = jnp.where(mask, val, cur)
+        _st(out_ref, lane, rd, rows_k, val, mask)
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
@@ -132,8 +158,7 @@ def _fill_periodic(out_ref, lane, db, off, n):
         oh = p3 == ph[:, :, None]
         val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
         mask = (d >= db) & (d < db + n)
-        cur = out_ref[lane, pl.ds(rd, _K), :]
-        out_ref[lane, pl.ds(rd, _K), :] = jnp.where(mask, val, cur)
+        _st(out_ref, lane, rd, _K, val, mask)
         return 0
 
     jax.lax.fori_loop(0, iters, body, 0)
@@ -160,8 +185,7 @@ def _fill_periodic_short(out_ref, lane, db, off, n, consts):
     oh = p3 == ph[:, :, None]
     val = jnp.sum(jnp.where(oh, pat.reshape(1, 1, 128), 0), axis=2)
     mask = (d >= db) & (d < db + n)
-    cur = out_ref[lane, pl.ds(rd, 2), :]
-    out_ref[lane, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+    _st(out_ref, lane, rd, 2, val, mask)
 
 
 def _window(ref, lane, row, sh, rows: int, max_rows: int):
@@ -172,6 +196,10 @@ def _window(ref, lane, row, sh, rows: int, max_rows: int):
     rot[1:rows+1] by column. The clip only matters for inactive/garbage
     records whose stores are masked off anyway."""
     blk = ref[lane, pl.ds(jnp.clip(row, 0, max_rows - rows - 1), rows + 1), :]
+    if _ABLATE == "roll":  # dev-only: measure the dynamic lane-roll cost
+        return blk
+    if _ABLATE == "load":  # dev-only: measure the window load cost
+        return pltpu.roll(ref[lane, pl.ds(0, rows + 1), :], sh, axis=1)
     return pltpu.roll(blk, sh, axis=1)
 
 
@@ -190,8 +218,13 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
     jj5, rr, d4 = consts4
     jj = jj5[:_FR]
     rd = op >> 7
-    opm = op + ll
-    end = opm + ml
+    opa = op & 127        # all bounds rebased to the store window (d4 axis):
+    opma = opa + ll       # d = 128*rd + d4, so compares against op/opm/end
+    enda = opma + ml      # become scalar-broadcast compares against d4 —
+    # no (FR,128) d materialization. span <= 128*(_FR-1) keeps them in range.
+    # fold `ok` into the bounds (scalar select beats a vector and): an
+    # inactive record degenerates to the empty interval [opa, opa).
+    enda = jnp.where(ok, enda, opa)
 
     # literal source window aligned to dst rows
     dl = lp - op
@@ -206,11 +239,9 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
                    out_rows)
     mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
 
-    d = 128 * rd + d4
-    val = jnp.where(d < opm, lval, mval)
-    mask = ok & (d >= op) & (d < end)
-    cur = out_ref[lane, pl.ds(rd, _FR), :]
-    out_ref[lane, pl.ds(rd, _FR), :] = jnp.where(mask, val, cur)
+    val = jnp.where(d4 < opma, lval, mval)
+    mask = (d4 >= opa) & (d4 < enda)
+    _st(out_ref, lane, rd, _FR, val, mask)
 
 
 def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
@@ -246,8 +277,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
             rd = op >> 7
             d = 128 * rd + consts[1]
             mask = (d >= op) & (d < op + ll)
-            cur = out_ref[j, pl.ds(rd, 2), :]
-            out_ref[j, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+            _st(out_ref, j, rd, 2, val, mask)
 
         @pl.when((op & 127) + ll > 256)
         def _():
@@ -267,8 +297,7 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
             rd = opm >> 7
             d = 128 * rd + consts[1]
             mask = (d >= opm) & (d < opm + ml)
-            cur = out_ref[j, pl.ds(rd, 2), :]
-            out_ref[j, pl.ds(rd, 2), :] = jnp.where(mask, val, cur)
+            _st(out_ref, j, rd, 2, val, mask)
 
         @pl.when((ml > 0) & (off >= 128 * _K) & ~(short_m & (off >= ml)))
         def _():
@@ -336,6 +365,8 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     output, length overflow, too many sequences for SMEM) are flagged not-ok
     and left to the caller's fallback path.
     """
+    global _RMW
+    _RMW = bool(interpret)
     B0, S = ll.shape
     if B0 % _L:
         pad = _L - B0 % _L
@@ -424,41 +455,60 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_width", "window", "interpret"))
-def execute_window_pallas(ll, ml, offset,   # (S,) i32 group records
-                          literals,          # (Llit,) u8 group literals
-                          out_len,           # () i32 exact group length
-                          win,               # (window,) u8 trailing history
-                          hist_avail,        # () i32 real bytes preceding
+                   static_argnames=("out_width", "window", "lanes_per_step",
+                                    "interpret"))
+def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
+                          literals,          # (L, Llit) u8 group literals
+                          out_len,           # (L,) i32 exact group lengths
+                          win,               # (L, window) u8 trailing history
+                          hist_avail,        # (L,) i32 real bytes preceding
                           out_width: int, window: int,
+                          lanes_per_step: int = 1,
                           interpret: bool = False):
-    """Execute ONE block group of a chained (streamed) frame.
+    """Execute one block group each of L chained (streamed) frames.
 
-    The previous output's trailing `window` bytes are prefilled ahead of
-    the group via input_output_aliasing, so match offsets reach across
-    group boundaries exactly like the reference's window-retaining drain
+    Each lane is one frame's next block group: the previous output's
+    trailing `window` bytes are prefilled ahead of the group via
+    input_output_aliasing, so match offsets reach across group boundaries
+    exactly like the reference's window-retaining drain
     (decode_buffer.rs:182-218). Offsets are valid up to
-    pos + min(window, hist_avail). Returns (group bytes (out_width,) u8,
-    ok () bool).
+    pos + min(window, hist_avail). Independent chains advance in LOCKSTEP —
+    `lanes_per_step` lanes share each grid step so their per-sequence
+    chains interleave (the same ILP story as the batched kernel's _L=4).
+    Returns (group bytes (L, out_width) u8, ok (L,) bool).
     """
+    global _RMW
+    _RMW = bool(interpret)
     assert window % 128 == 0
-    S = ll.shape[0]
-    lit_w = literals.shape[0]
+    L0, S = ll.shape
+    Li = max(1, lanes_per_step)
+    if L0 % Li:
+        pad = Li - L0 % Li
+        ll = jnp.pad(ll, ((0, pad), (0, 0)))
+        ml = jnp.pad(ml, ((0, pad), (0, 0)))
+        offset = jnp.pad(offset, ((0, pad), (0, 0)))
+        literals = jnp.pad(literals, ((0, pad), (0, 0)))
+        out_len = jnp.pad(out_len, (0, pad))
+        win = jnp.pad(win, ((0, pad), (0, 0)))
+        hist_avail = jnp.pad(hist_avail, (0, pad))
+    L = ll.shape[0]
+    lit_w = literals.shape[1]
     PAD = _FR * 128
     wrows = window // 128
     out_rows = _FR + wrows + (out_width + 127) // 128 + _K + 2
     lit_rows = _FR + (lit_w + 127) // 128 + _K + 2
 
     run = ll + ml
-    endpos = jnp.cumsum(run)
+    endpos = jnp.cumsum(run, axis=1)
     pos_before_match = endpos - ml
-    reach = pos_before_match + jnp.minimum(hist_avail, window)
+    reach = pos_before_match + jnp.minimum(hist_avail, window)[:, None]
     off_ok = (ml == 0) | ((offset > 0) & (offset <= reach))
-    lit_need = jnp.cumsum(ll)
-    ok = (jnp.all(off_ok) & (endpos[-1] == out_len)
-          & (out_len <= out_width) & (lit_need[-1] <= lit_w))
+    lit_need = jnp.cumsum(ll, axis=1)
+    ok = (jnp.all(off_ok, axis=1) & (endpos[:, -1] == out_len)
+          & (out_len <= out_width) & (lit_need[:, -1] <= lit_w))
     act = run > 0
-    nseq = jnp.max(jnp.where(act, jnp.arange(S, dtype=jnp.int32) + 1, 0))
+    nseq = jnp.max(jnp.where(act, jnp.arange(S, dtype=jnp.int32)[None, :] + 1,
+                             0), axis=1)
     ok = ok & (nseq <= MAX_SMEM_SEQS)
     nseq = jnp.where(ok, nseq, 0)
 
@@ -466,13 +516,13 @@ def execute_window_pallas(ll, ml, offset,   # (S,) i32 group records
     s_pad = n_chunks * SEQ_CHUNK
 
     def rec3(x):
-        x = x[:s_pad]
-        if s_pad > x.shape[0]:
-            x = jnp.pad(x, (0, s_pad - x.shape[0]))
-        return x[None, None, :]  # (1, 1, s_pad)
+        x = x[:, :s_pad]
+        if s_pad > x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1])))
+        return x[:, None, :]  # (L, 1, s_pad)
 
-    lit_i32 = jnp.pad(literals, (PAD, lit_rows * 128 - lit_w - PAD)
-                      ).astype(jnp.int32).reshape(1, lit_rows, 128)
+    lit_i32 = jnp.pad(literals, ((0, 0), (PAD, lit_rows * 128 - lit_w - PAD))
+                      ).astype(jnp.int32).reshape(L, lit_rows, 128)
 
     # cursors shifted past the lead pad AND the window prefix
     base = PAD + window
@@ -485,41 +535,41 @@ def execute_window_pallas(ll, ml, offset,   # (S,) i32 group records
 
     # initial out content: [PAD zeros | window | zeros], aliased to the
     # kernel's output so match sources below the group are readable
-    init = jnp.pad(win, (PAD, out_rows * 128 - window - PAD)
-                   ).astype(jnp.int32).reshape(1, out_rows, 128)
+    init = jnp.pad(win, ((0, 0), (PAD, out_rows * 128 - window - PAD))
+                   ).astype(jnp.int32).reshape(L, out_rows, 128)
 
-    smem_rec = pl.BlockSpec((1, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
+    smem_rec = pl.BlockSpec((Li, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((1, out_rows, 128), lambda l, c: (l, 0, 0),
+    out_spec = pl.BlockSpec((Li, out_rows, 128), lambda l, c: (l, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
         # init_r is the aliased window prefix — the kernel reads/writes it
         # through out_r directly
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
-                     lit_rows=lit_rows, out_rows=out_rows, L=1)
+                     lit_rows=lit_rows, out_rows=out_rows, L=Li)
 
     out_i32 = pl.pallas_call(
         kernel,
-        grid=(1, n_chunks),
+        grid=(L // Li, n_chunks),
         in_specs=[
             smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
-            pl.BlockSpec((1, 1, 1), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((Li, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, lit_rows, 128), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             out_spec,
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((1, out_rows, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, out_rows, 128), jnp.int32),
         input_output_aliases={7: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
-      nseq.reshape(1, 1, 1), lit_i32, init)
+      nseq[:, None, None], lit_i32, init)
 
-    flat = out_i32.reshape(out_rows * 128)[base:base + out_width]
-    pos = jnp.arange(out_width, dtype=jnp.int32)
-    out = jnp.where(pos < out_len, flat, 0).astype(jnp.uint8)
-    return out, ok
+    flat = out_i32.reshape(L, out_rows * 128)[:, base:base + out_width]
+    pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]
+    out = jnp.where(pos < out_len[:, None], flat, 0).astype(jnp.uint8)
+    return out[:L0], ok[:L0]

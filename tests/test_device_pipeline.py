@@ -121,3 +121,22 @@ def test_zero_length_rle_block(decoder):
     batch = decoder.prepare([frame])
     outs, out_len, ok = decoder.run_device(batch)
     assert bool(ok[0]) and outs[0][:out_len[0]].tobytes() == b"hi"
+
+
+def test_decode_frames_pipelined_matches_sequential(decoder):
+    """The pipelined serving loop (prepare k+1 overlapping device k) yields
+    exactly the sequential results, including fallback lanes, across
+    batches of different shapes."""
+    import zstandard
+
+    comp = zstandard.ZstdCompressor(level=3, write_checksum=True)
+    batches = [
+        [comp.compress(b"batch0 frame %d " % i * (20 + i)) for i in range(7)],
+        [comp.compress(b"x" * 5000), b"\x00bad frame\xff" * 3,
+         comp.compress(b"batch1 " * 999)],
+        [comp.compress(bytes(range(256)) * 300)],
+    ]
+    want = [decoder.decode_frames(fs) for fs in batches]
+    got = list(decoder.decode_frames_pipelined(iter(batches)))
+    assert got == want
+    assert got[1][1] is None  # the malformed lane stays poisoned

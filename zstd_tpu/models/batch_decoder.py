@@ -508,11 +508,15 @@ class BatchDecoder:
         return dev
 
     def run_device(self, batch: DeviceBatch, staged: dict | None = None,
-                   pull_outputs: bool = True):
+                   pull_outputs: bool = True, sync: bool = True):
         """Full device decode. Returns (list of np.uint8 rows, out_len, ok).
 
         pull_outputs=False leaves the decoded bytes device-resident (device
-        consumers / throughput measurement) and only syncs completion."""
+        consumers / throughput measurement) and only syncs completion.
+        sync=False returns an opaque dispatch state instead — all device
+        work is enqueued but not waited on; pass it to _finalize() (or use
+        decode_frames_pipelined) to overlap host framing with device
+        compute."""
         from zstd_tpu.common.trace import scope, vprint
 
         d = staged if staged is not None else self.stage(batch)
@@ -727,6 +731,19 @@ class BatchDecoder:
                          if a_ is not None]
         lens_ok = jnp.concatenate(
             [out_len, ok_dev.astype(jnp.int32)] + chain_scalars)
+        state = (lens_ok, chain_pend, host_lanes, pending, outputs,
+                 Bf, frame_inert)
+        if not sync:
+            # everything above is async device dispatch — return the
+            # continuation so a caller can overlap host work (preparing the
+            # next batch) with the device crunching this one
+            return state
+        return self._finalize(state, pull_outputs)
+
+    def _finalize(self, state, pull_outputs: bool = True):
+        """Second half of run_device: the single host sync + unpack."""
+        (lens_ok, chain_pend, host_lanes, pending, outputs,
+         Bf, frame_inert) = state
         lens_ok_h = np.asarray(lens_ok)
         out_len_h = lens_ok_h[:Bf].copy()
         ok_h = lens_ok_h[Bf:2 * Bf].astype(bool)
@@ -769,7 +786,28 @@ class BatchDecoder:
         """Returns decoded bytes per frame (device path, host oracle fallback)."""
         batch = self.prepare(frames)
         outputs, out_len, ok = self.run_device(batch)
+        return self._postprocess(frames, batch, outputs, out_len, ok)
 
+    def decode_frames_pipelined(self, frame_batches):
+        """Generator over decoded-bytes lists, one per input batch — the
+        serving loop. Host framing of batch k+1 overlaps the device
+        crunching batch k (run_device dispatches async; the sync happens
+        one batch late), so steady-state wall time is
+        ~max(host_prepare, device) per batch instead of their sum."""
+        prev = None
+        for frames in frame_batches:
+            batch = self.prepare(frames)
+            staged = self.stage(batch)
+            st = self.run_device(batch, staged, sync=False)
+            if prev is not None:
+                pf, pb, pst = prev
+                yield self._postprocess(pf, pb, *self._finalize(pst))
+            prev = (frames, batch, st)
+        if prev is not None:
+            pf, pb, pst = prev
+            yield self._postprocess(pf, pb, *self._finalize(pst))
+
+    def _postprocess(self, frames, batch, outputs, out_len, ok) -> list:
         results = []
         fallback_idx = []
         for i, meta in enumerate(batch.metas):

@@ -648,8 +648,20 @@ class BatchDecoder:
                     [1] * len(xla_live), self.max_bucket_elems):
                 plans.append((w, [xla_live[r] for r in rows], False))
         pending = []
-        for w, rows, use_pl in plans:
+        cap_dir = os.environ.get("ZSTD_TPU_CAPTURE_EXEC")
+        for bi, (w, rows, use_pl) in enumerate(plans):
             idx = _pad_idx(rows, frame_inert, 128 if use_pl else 4)
+            if cap_dir and use_pl:
+                # dev-only: save this exec bucket's resolved inputs so
+                # scripts/kbench_exec.py can replay the kernel in isolation
+                lw_c = _pow2(max(max(lit_len_h[i] for i in rows), 1))
+                np.savez(os.path.join(cap_dir, f"exec_bucket_{bi}.npz"),
+                         ll=np.asarray(ll_full[jnp.asarray(idx)]),
+                         ml=np.asarray(ml_full[jnp.asarray(idx)]),
+                         off=np.asarray(offsets[jnp.asarray(idx)]),
+                         lit=np.asarray(lit_full[jnp.asarray(idx)]),
+                         out_len=np.asarray(out_len[jnp.asarray(idx)]),
+                         w=w, lw=min(lw_c, lit_full.shape[1] * 4))
             with scope(f"lz77_execute_{w}"):
                 if use_pl:
                     lw = _pow2(max(max(lit_len_h[i] for i in rows), 1))

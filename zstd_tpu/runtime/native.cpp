@@ -597,24 +597,36 @@ int64_t zt_find_sequences(const uint8_t* data, int64_t n,
         }
         return count;
     }
-    for (int64_t i = 0; i < (1 << HASH_LOG); i++) table[i] = -1;
+    memset(table, 0xFF, sizeof(int32_t) << HASH_LOG);  // all -1
     int64_t anchor = 0, pos = 0;
     int64_t limit = n - MIN_MATCH;
+    // 5-byte fetch: one unaligned word load when 8 bytes are in bounds
+    // (all but the last 3 eligible positions), byte assembly otherwise
+    auto rd40 = [&](int64_t p) -> uint64_t {
+        if (p + 8 <= n) return rd64(data + p) & 0xFFFFFFFFFFULL;
+        uint64_t v = 0;
+        for (int k = 0; k < 5; k++) v |= (uint64_t)data[p + k] << (8 * k);
+        return v;
+    };
     auto hash5 = [&](int64_t p) -> uint32_t {
-        uint64_t v = (uint64_t)data[p] | ((uint64_t)data[p + 1] << 8)
-                   | ((uint64_t)data[p + 2] << 16)
-                   | ((uint64_t)data[p + 3] << 24)
-                   | ((uint64_t)data[p + 4] << 32);
-        return (uint32_t)((v * POLY) >> (64 - HASH_LOG));
+        return (uint32_t)((rd40(p) * POLY) >> (64 - HASH_LOG));
     };
     while (pos <= limit) {
-        uint32_t h = hash5(pos);
+        uint64_t v40 = rd40(pos);
+        uint32_t h = (uint32_t)((v40 * POLY) >> (64 - HASH_LOG));
         int64_t cand = table[h];
         table[h] = (int32_t)pos;
-        if (cand >= 0 && memcmp(data + cand, data + pos, MIN_MATCH) == 0) {
+        if (cand >= 0 && rd40(cand) == v40) {
             int64_t ml = MIN_MATCH;
             int64_t max_ml = n - pos;
-            while (ml < max_ml && data[cand + ml] == data[pos + ml]) ml++;
+            // word-at-a-time extension (cand < pos keeps loads in bounds)
+            while (ml + 8 <= max_ml) {
+                uint64_t x = rd64(data + cand + ml) ^ rd64(data + pos + ml);
+                if (x) { ml += __builtin_ctzll(x) >> 3; break; }
+                ml += 8;
+            }
+            if (ml + 8 > max_ml)
+                while (ml < max_ml && data[cand + ml] == data[pos + ml]) ml++;
             while (pos > anchor && cand > 0 && data[cand - 1] == data[pos - 1]) {
                 pos--; cand--; ml++;
             }
@@ -689,14 +701,29 @@ struct ZtBitW {
 };
 
 static inline int bw_put(ZtBitW* w, uint64_t v, int n) {
+    // n <= 56 per call (codes <= 11 bits, states <= 9, extras <= 31,
+    // byte copies 8); nbits stays < 8 between calls so acc never overflows.
     if (n == 0) return 0;
     w->acc |= (v & ((1ULL << n) - 1)) << w->nbits;
     w->nbits += n;
-    while (w->nbits >= 8) {
-        if (w->len >= w->cap) return -1;
-        w->out[w->len++] = (uint8_t)(w->acc & 0xFF);
-        w->acc >>= 8;
-        w->nbits -= 8;
+    if (w->nbits >= 8) {
+        int bytes = w->nbits >> 3;
+        if (w->len + 8 <= w->cap) {
+            // one unaligned little-endian word store covers every whole
+            // byte in the accumulator (tail bytes are scratch and get
+            // overwritten by the next flush)
+            memcpy(w->out + w->len, &w->acc, 8);
+            w->len += bytes;
+            w->acc >>= (bytes << 3);
+            w->nbits &= 7;
+        } else {
+            while (w->nbits >= 8) {
+                if (w->len >= w->cap) return -1;
+                w->out[w->len++] = (uint8_t)(w->acc & 0xFF);
+                w->acc >>= 8;
+                w->nbits -= 8;
+            }
+        }
     }
     return 0;
 }
@@ -708,12 +735,15 @@ static inline int bw_put(ZtBitW* w, uint64_t v, int n) {
 // tables passed in. A kind with mode RLE has en_*=0 and contributes no
 // state bits. Returns bytes written or -1 (capacity).
 
-int64_t zt_encode_seq_stream(
-    const int32_t* ll, const int32_t* mlv, const int32_t* ofv, int64_t n,
-    const int32_t* ll_cb_base, int32_t ll_ncodes,
-    const int32_t* ll_cb_bits,
-    const int32_t* ml_cb_base, int32_t ml_ncodes,
-    const int32_t* ml_cb_bits,
+// Core with caller-precomputed code arrays (seq_section already has them
+// for mode selection — recomputing the binary searches here was ~15% of
+// the whole encode).
+static int64_t encode_seq_stream_codes(
+    const int32_t* ll, const int32_t* mlv, const int32_t* ofv,
+    const int32_t* llc_a, const int32_t* mlc_a, const int32_t* ofc_a,
+    int64_t n,
+    const int32_t* ll_cb_base, const int32_t* ll_cb_bits,
+    const int32_t* ml_cb_base, const int32_t* ml_cb_bits,
     int32_t en_ll, const int32_t* ll_dnb, const int32_t* ll_dfs,
     const int32_t* ll_ns, int32_t ll_log,
     int32_t en_of, const int32_t* of_dnb, const int32_t* of_dfs,
@@ -723,13 +753,6 @@ int64_t zt_encode_seq_stream(
     uint8_t* out, int64_t cap) {
     if (n <= 0) return 0;
     ZtBitW w = {out, cap, 0, 0, 0};
-    auto code_of = [](int64_t v) -> int { return 63 - __builtin_clzll((uint64_t)v); };
-    auto code_in = [](const int32_t* base, int32_t ncodes, int64_t v) -> int {
-        int lo = 0, hi = ncodes;  // upper_bound - 1
-        while (lo < hi) { int mid = (lo + hi) >> 1;
-            if (base[mid] <= v) lo = mid + 1; else hi = mid; }
-        return lo - 1;
-    };
     int32_t s_ll = 0, s_of = 0, s_ml = 0;
     auto init_state = [](int32_t* st, const int32_t* dnb, const int32_t* dfs,
                          const int32_t* ns, int c) {
@@ -745,9 +768,7 @@ int64_t zt_encode_seq_stream(
         return 0;
     };
     int64_t last = n - 1;
-    int llc = code_in(ll_cb_base, ll_ncodes, ll[last]);
-    int mlc = code_in(ml_cb_base, ml_ncodes, mlv[last]);
-    int ofc = code_of(ofv[last]);
+    int llc = llc_a[last], mlc = mlc_a[last], ofc = ofc_a[last];
     if (en_ml) init_state(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc);
     if (en_of) init_state(&s_of, of_dnb, of_dfs, of_ns, ofc);
     if (en_ll) init_state(&s_ll, ll_dnb, ll_dfs, ll_ns, llc);
@@ -756,9 +777,7 @@ int64_t zt_encode_seq_stream(
         bw_put(&w, (uint64_t)(ofv[last] - (1LL << ofc)), ofc) < 0)
         return -1;
     for (int64_t i = n - 2; i >= 0; i--) {
-        llc = code_in(ll_cb_base, ll_ncodes, ll[i]);
-        mlc = code_in(ml_cb_base, ml_ncodes, mlv[i]);
-        ofc = code_of(ofv[i]);
+        llc = llc_a[i]; mlc = mlc_a[i]; ofc = ofc_a[i];
         if (en_of && enc(&s_of, of_dnb, of_dfs, of_ns, ofc) < 0) return -1;
         if (en_ml && enc(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc) < 0) return -1;
         if (en_ll && enc(&s_ll, ll_dnb, ll_dfs, ll_ns, llc) < 0) return -1;
@@ -776,6 +795,45 @@ int64_t zt_encode_seq_stream(
     return w.len;
 }
 
+static inline int seq_code_in(const int32_t* base, int32_t ncodes,
+                              int64_t v) {
+    int lo = 0, hi = ncodes;  // upper_bound - 1
+    while (lo < hi) { int mid = (lo + hi) >> 1;
+        if (base[mid] <= v) lo = mid + 1; else hi = mid; }
+    return lo - 1;
+}
+
+int64_t zt_encode_seq_stream(
+    const int32_t* ll, const int32_t* mlv, const int32_t* ofv, int64_t n,
+    const int32_t* ll_cb_base, int32_t ll_ncodes,
+    const int32_t* ll_cb_bits,
+    const int32_t* ml_cb_base, int32_t ml_ncodes,
+    const int32_t* ml_cb_bits,
+    int32_t en_ll, const int32_t* ll_dnb, const int32_t* ll_dfs,
+    const int32_t* ll_ns, int32_t ll_log,
+    int32_t en_of, const int32_t* of_dnb, const int32_t* of_dfs,
+    const int32_t* of_ns, int32_t of_log,
+    int32_t en_ml, const int32_t* ml_dnb, const int32_t* ml_dfs,
+    const int32_t* ml_ns, int32_t ml_log,
+    uint8_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    int32_t* codes = (int32_t*)malloc((size_t)(3 * n) * 4);
+    if (!codes) return -1;
+    for (int64_t i = 0; i < n; i++) {
+        codes[i] = seq_code_in(ll_cb_base, ll_ncodes, ll[i]);
+        codes[n + i] = seq_code_in(ml_cb_base, ml_ncodes, mlv[i]);
+        codes[2 * n + i] = 63 - __builtin_clzll((uint64_t)ofv[i]);
+    }
+    int64_t r = encode_seq_stream_codes(
+        ll, mlv, ofv, codes, codes + n, codes + 2 * n, n,
+        ll_cb_base, ll_cb_bits, ml_cb_base, ml_cb_bits,
+        en_ll, ll_dnb, ll_dfs, ll_ns, ll_log,
+        en_of, of_dnb, of_dfs, of_ns, of_log,
+        en_ml, ml_dnb, ml_dfs, ml_ns, ml_log, out, cap);
+    free(codes);
+    return r;
+}
+
 // Huffman literal-stream encode — exact port of
 // encoding/huff0_enc.py::_encode_stream (reverse symbol order, sentinel 1
 // bit, byte padding). Returns bytes written, -1 on capacity, -2 when a
@@ -785,7 +843,20 @@ int64_t zt_huff_encode_stream(const uint8_t* data, int64_t n,
                               const uint32_t* codes, const uint8_t* lens,
                               uint8_t* out, int64_t cap) {
     ZtBitW w = {out, cap, 0, 0, 0};
-    for (int64_t i = n - 1; i >= 0; i--) {
+    int64_t i = n - 1;
+    // 4 symbols per flush: codes are <= 11 bits so 4 fit in one put
+    for (; i >= 3; i -= 4) {
+        uint8_t b0 = data[i], b1 = data[i - 1];
+        uint8_t b2 = data[i - 2], b3 = data[i - 3];
+        int n0 = lens[b0], n1 = lens[b1], n2 = lens[b2], n3 = lens[b3];
+        if (!n0 || !n1 || !n2 || !n3) return -2;
+        uint64_t v = codes[b0] & ((1u << n0) - 1);
+        v |= (uint64_t)(codes[b1] & ((1u << n1) - 1)) << n0;
+        v |= (uint64_t)(codes[b2] & ((1u << n2) - 1)) << (n0 + n1);
+        v |= (uint64_t)(codes[b3] & ((1u << n3) - 1)) << (n0 + n1 + n2);
+        if (bw_put(&w, v, n0 + n1 + n2 + n3) < 0) return -1;
+    }
+    for (; i >= 0; i--) {
         uint8_t b = data[i];
         int nb = lens[b];
         if (nb == 0) return -2;
@@ -1316,6 +1387,27 @@ static int64_t fse_sim_cost(const FseEncT* t, const int32_t* codes,
     return bits + t->table_log;
 }
 
+// both candidate tables simulated in one pass over the codes
+static void fse_sim_cost2(const FseEncT* a, const FseEncT* b,
+                          const int32_t* codes, int64_t n,
+                          int64_t* cost_a, int64_t* cost_b) {
+    if (n <= 0) { *cost_a = a->table_log; *cost_b = b->table_log; return; }
+    int32_t sa = fse_init_state(a, codes[n - 1]);
+    int32_t sb = fse_init_state(b, codes[n - 1]);
+    int64_t ba = 0, bb = 0;
+    for (int64_t i = n - 2; i >= 0; i--) {
+        int c = codes[i];
+        int na = (sa + a->dnb[c]) >> 16;
+        ba += na;
+        sa = a->ns[(sa >> na) + a->dfs[c]];
+        int nb = (sb + b->dnb[c]) >> 16;
+        bb += nb;
+        sb = b->ns[(sb >> nb) + b->dfs[c]];
+    }
+    *cost_a = ba + a->table_log;
+    *cost_b = bb + b->table_log;
+}
+
 // fse_enc.py::optimal_table_log
 static int fse_optimal_log(int max_log, int64_t total, int num_symbols) {
     if (total <= 1) return 5;
@@ -1456,24 +1548,21 @@ static int predef_tables_init() {
 
 // Returns mode (0 predef / 1 rle / 2 fse) or -1. Fills `t` for modes 0/2,
 // `rle_sym` for mode 1, and appends table bytes to `tw` for modes 1/2.
-static int mode_and_table(const int32_t* codes, int64_t n, int max_log,
+// `counts` is the caller-built histogram of `codes` (one shared fill pass
+// in seq_section instead of two scans per kind here).
+static int mode_and_table(const int32_t* codes, int64_t n,
+                          const int64_t* counts, int max_log,
                           int predef_idx, ZtBitW* tw, FseEncT* t,
                           int* rle_sym) {
     int32_t first = codes[0];
-    bool all_eq = true;
     int32_t maxc = 0;
-    for (int64_t i = 0; i < n; i++) {
-        if (codes[i] != first) all_eq = false;
-        if (codes[i] > maxc) maxc = codes[i];
-    }
-    if (all_eq) {
+    for (int s = 63; s >= 0; s--)
+        if (counts[s]) { maxc = s; break; }
+    if (counts[first] == n) {
         if (bw_put(tw, (uint64_t)(uint32_t)first, 8) < 0) return -1;
         *rle_sym = first;
         return 1;  // MODE_RLE
     }
-    int64_t counts[64] = {0};
-    if (maxc >= 64) return -1;
-    for (int64_t i = 0; i < n; i++) counts[codes[i]]++;
     int ncounts = maxc + 1;
     int nonzero = 0;
     for (int s = 0; s < ncounts; s++)
@@ -1490,8 +1579,9 @@ static int mode_and_table(const int32_t* codes, int64_t n, int max_log,
     if (predef_tables_init() == 0) {
         const FseEncT* pre = &g_predef[predef_idx];
         if (maxc <= pre->nprobs - 1) {
-            int64_t cost_custom = dw.len * 8 + fse_sim_cost(t, codes, n);
-            int64_t cost_pre = fse_sim_cost(pre, codes, n);
+            int64_t sim_custom, cost_pre;
+            fse_sim_cost2(t, pre, codes, n, &sim_custom, &cost_pre);
+            int64_t cost_custom = dw.len * 8 + sim_custom;
             if (cost_pre <= cost_custom) {
                 *t = *pre;
                 return 0;  // MODE_PREDEFINED
@@ -1628,20 +1718,23 @@ static int64_t huff_desc_size(const HuffEncT* t) {
     return o.len;
 }
 
-// block_enc.py::_stream_payload_bytes
-static int64_t huff_payload_bytes(const HuffEncT* t, const uint8_t* lits,
-                                  int64_t n, bool four) {
+// block_enc.py::_stream_payload_bytes, from per-quarter histograms (the
+// stream split is the same ceil(n/4) as the payload builder, so per-stream
+// byte rounding matches exactly; dot products replace whole-block passes)
+static int64_t huff_payload_bytes_counts(const HuffEncT* t,
+                                         const int64_t counts4[4][256],
+                                         bool four) {
     if (!four) {
         int64_t bits = 0;
-        for (int64_t i = 0; i < n; i++) bits += t->lens[lits[i]];
+        for (int s = 0; s < 256; s++)
+            bits += (counts4[0][s] + counts4[1][s] + counts4[2][s]
+                     + counts4[3][s]) * t->lens[s];
         return (bits + 1 + 7) / 8;
     }
-    int64_t split = (n + 3) / 4;
     int64_t total = 6;
-    for (int64_t s = 0; s < n; s += split) {
-        int64_t e = s + split < n ? s + split : n;
+    for (int q = 0; q < 4; q++) {
         int64_t bits = 0;
-        for (int64_t i = s; i < e; i++) bits += t->lens[lits[i]];
+        for (int s = 0; s < 256; s++) bits += counts4[q][s] * t->lens[s];
         total += (bits + 1 + 7) / 8;
     }
     return total;
@@ -1724,13 +1817,26 @@ static int lit_section(const uint8_t* lits, int64_t n, ZtOutBuf* o,
         return ob_byte(o, lits[0]);
     }
     if (n > 63) {
-        int64_t counts[256] = {0};
-        int maxb = 0;
-        for (int64_t i = 0; i < n; i++) {
-            counts[lits[i]]++;
-            if (lits[i] > maxb) maxb = lits[i];
-        }
         bool four = n >= 256;
+        // histogram per 4-stream quarter (same ceil(n/4) split as the
+        // payload builder) so candidate-table costs are dot products
+        int64_t counts4[4][256] = {{0}};
+        int maxb = 0;
+        int64_t split = four ? (n + 3) / 4 : n;
+        for (int q = 0; q < 4; q++) {
+            int64_t s = q * split;
+            int64_t e = s + split < n ? s + split : n;
+            if (s >= n) break;
+            int64_t* cq = counts4[q];
+            for (int64_t i = s; i < e; i++) {
+                cq[lits[i]]++;
+                if (lits[i] > maxb) maxb = lits[i];
+            }
+        }
+        int64_t counts[256];
+        for (int s = 0; s < 256; s++)
+            counts[s] = counts4[0][s] + counts4[1][s] + counts4[2][s]
+                        + counts4[3][s];
         HuffEncT newt;
         newt.valid = 0;
         int64_t cost_new = (int64_t)1 << 62;
@@ -1749,8 +1855,9 @@ static int lit_section(const uint8_t* lits, int64_t n, ZtOutBuf* o,
                 memcpy(newt.weights, weights, 256 * 4);
                 desc_len = huff_desc_size(&newt);
                 if (desc_len >= 0)
-                    cost_new = desc_len + huff_payload_bytes(&newt, lits, n,
-                                                             four);
+                    cost_new = desc_len
+                               + huff_payload_bytes_counts(&newt, counts4,
+                                                           four);
                 else
                     newt.valid = 0;
             }
@@ -1761,7 +1868,7 @@ static int lit_section(const uint8_t* lits, int64_t n, ZtOutBuf* o,
             for (int b = 0; b <= maxb && ok; b++)
                 if (counts[b] && prev->lens[b] == 0) ok = false;
             if (ok)
-                cost_reuse = huff_payload_bytes(prev, lits, n, four);
+                cost_reuse = huff_payload_bytes_counts(prev, counts4, four);
         }
         const HuffEncT* table = nullptr;
         int lit_type = LIT_COMPRESSED;
@@ -1842,30 +1949,40 @@ static int seq_section(const int32_t* llv, const int32_t* mlv,
     int32_t* llc = cscratch;
     int32_t* mlc = cscratch + m;
     int32_t* ofc = cscratch + 2 * m;
-    auto code_in = [](const int32_t* base, int32_t ncodes, int64_t v) -> int {
-        int lo = 0, hi = ncodes;
-        while (lo < hi) {
-            int mid = (lo + hi) >> 1;
-            if (base[mid] <= v) lo = mid + 1; else hi = mid;
-        }
-        return lo - 1;
-    };
+    // small-value code LUTs (LL < 64, ML-3 < 128 cover nearly every
+    // sequence); binary search only for the rare large values
+    static int32_t ll_lut[64], ml_lut[128];
+    static int luts_ready = 0;
+    if (!luts_ready) {
+        for (int v = 0; v < 64; v++)
+            ll_lut[v] = seq_code_in(ZT_LL_BASE, 36, v);
+        for (int v = 0; v < 128; v++)
+            ml_lut[v] = seq_code_in(ZT_ML_BASE, 53, v + 3);
+        luts_ready = 1;
+    }
+    int64_t cll[64] = {0}, cml[64] = {0}, cof[64] = {0};
     for (int64_t i = 0; i < m; i++) {
-        llc[i] = code_in(ZT_LL_BASE, 36, llv[i]);
-        mlc[i] = code_in(ZT_ML_BASE, 53, mlv[i]);
-        ofc[i] = 63 - __builtin_clzll((uint64_t)ofv[i]);
+        int32_t lv = llv[i], mv = mlv[i];
+        int lc = (uint32_t)lv < 64 ? ll_lut[lv]
+                                   : seq_code_in(ZT_LL_BASE, 36, lv);
+        int mc = (uint32_t)(mv - 3) < 128 ? ml_lut[mv - 3]
+                                          : seq_code_in(ZT_ML_BASE, 53, mv);
+        int oc = 63 - __builtin_clzll((uint64_t)ofv[i]);
+        if (oc >= 64) return -2;
+        llc[i] = lc; mlc[i] = mc; ofc[i] = oc;
+        cll[lc]++; cml[mc]++; cof[oc]++;
     }
     uint8_t tbuf[1024];
     ZtBitW tw = {tbuf, 1024, 0, 0, 0};
     FseEncT ll_t = {}, of_t = {}, ml_t = {};
     int ll_rle = 0, of_rle = 0, ml_rle = 0;
-    int ll_mode = mode_and_table(llc, m, ZT_LL_MAX_LOG, 0, &tw, &ll_t,
+    int ll_mode = mode_and_table(llc, m, cll, ZT_LL_MAX_LOG, 0, &tw, &ll_t,
                                  &ll_rle);
     if (ll_mode < 0) return -2;
-    int of_mode = mode_and_table(ofc, m, ZT_OF_MAX_LOG, 1, &tw, &of_t,
+    int of_mode = mode_and_table(ofc, m, cof, ZT_OF_MAX_LOG, 1, &tw, &of_t,
                                  &of_rle);
     if (of_mode < 0) return -2;
-    int ml_mode = mode_and_table(mlc, m, ZT_ML_MAX_LOG, 2, &tw, &ml_t,
+    int ml_mode = mode_and_table(mlc, m, cml, ZT_ML_MAX_LOG, 2, &tw, &ml_t,
                                  &ml_rle);
     if (ml_mode < 0) return -2;
     if (tw.nbits != 0) return -2;  // descriptions are byte-aligned
@@ -1875,9 +1992,9 @@ static int seq_section(const int32_t* llv, const int32_t* mlv,
     if (ob_put(o, tbuf, tw.len) < 0) return -1;
     int en_ll = ll_mode != MODE_RLE, en_of = of_mode != MODE_RLE,
         en_ml = ml_mode != MODE_RLE;
-    int64_t r = zt_encode_seq_stream(
-        llv, mlv, ofv, m,
-        ZT_LL_BASE, 36, ZT_LL_BITS, ZT_ML_BASE, 53, ZT_ML_BITS,
+    int64_t r = encode_seq_stream_codes(
+        llv, mlv, ofv, llc, mlc, ofc, m,
+        ZT_LL_BASE, ZT_LL_BITS, ZT_ML_BASE, ZT_ML_BITS,
         en_ll, ll_t.dnb, ll_t.dfs, ll_t.ns, ll_t.table_log,
         en_of, of_t.dnb, of_t.dfs, of_t.ns, of_t.table_log,
         en_ml, ml_t.dnb, ml_t.dfs, ml_t.ns, ml_t.table_log,

@@ -81,6 +81,13 @@ MAX_SMEM_SEQS = 131072
 # dev-only ablation switch (see pallas_sequence.py): "fused" | "slow" |
 # "body" skips that part of the per-sequence work
 _ABLATE = os.environ.get("ZSTD_TPU_EXEC_ABLATE", "")
+# EXPERIMENT (opt-in, ZSTD_TPU_EXEC_PRE=1): scalar offload — XLA
+# precomputes the per-record address math (store row, window rows/shifts,
+# mask bounds, slow flag) into six extra SMEM words so the kernel's fused
+# path does ~6 scalar reads + ~6 ALU ops instead of 5 reads + ~18 ALU ops.
+# PERF.md: "one packed read beats five ALU ops" — scalar issue paces the
+# per-sequence loop. Validate on device before flipping the default.
+_PRE = os.environ.get("ZSTD_TPU_EXEC_PRE", "") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 _L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
 # fused-path store window rows (span <= 128*(_FR-1) incl. the alignment
@@ -244,18 +251,9 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
     _st(out_ref, lane, rd, _FR, val, mask)
 
 
-def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
-                 out_ref, lit_rows: int, out_rows: int, L: int = _L):
-    c = pl.program_id(1)
-    base = c * SEQ_CHUNK
-    counts = [jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK)
-              for j in range(L)]
-    count = counts[0]
-    for j in range(1, L):
-        count = jnp.maximum(count, counts[j])
-
-    # loop-invariant iotas (the (2,128,128) one-hot iota is ~32 vregs —
-    # rebuilding it per sequence is pure waste)
+def _iota_consts():
+    """Loop-invariant iotas (the (2,128,128) one-hot iota is ~32 vregs —
+    rebuilding it per sequence is pure waste)."""
     jj2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
     rr2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
     consts = (jj2, 128 * rr2 + jj2,
@@ -263,9 +261,13 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
     jj4 = jax.lax.broadcasted_iota(jnp.int32, (_FR + 1, 128), 1)
     rr4 = jax.lax.broadcasted_iota(jnp.int32, (_FR, 128), 0)
     consts4 = (jj4, rr4, 128 * rr4 + jj4[:_FR])
+    return consts, consts4
+
+
+def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int):
+    """v1 branched dispatch — long runs and overlapping matches."""
 
     def slow_seq(j, op, lp, ll, ml, off):  # noqa: C901
-        """v1 branched dispatch — long runs and overlapping matches."""
         @pl.when((ll > 0) & ((op & 127) + ll <= 256))
         def _():
             dl = lp - op
@@ -318,6 +320,124 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         def _():
             _fill_periodic(out_ref, j, opm, off, ml)
 
+    return slow_seq
+
+
+def _fused_pre(lit_ref, out_ref, j, rd, lrow, sh, mrow, oa, enda, consts4):
+    """Scalar-offloaded fused copy: all address math arrives precomputed
+    (see the ZSTD_TPU_EXEC_PRE precompute in execute_sequences_pallas).
+    6 scalar words in, ~8 ALU ops, same vector chain as _fused_short."""
+    jj5, rr, d4 = consts4
+    jj = jj5[:_FR]
+    lb = sh & 0xFFFF          # 128 - (lit delta & 127), in [1, 128]
+    mb = sh >> 16             # 128 - ((-off) & 127), in [1, 128]
+    opa = oa & 1023
+    opma = (oa >> 10) & 1023
+
+    lrow = 0 if _ABLATE == "load" else lrow
+    mrow = 0 if _ABLATE == "load" else mrow
+    lblk = lit_ref[j, pl.ds(lrow, _FR + 1), :]
+    lrot = lblk if _ABLATE == "roll" else pltpu.roll(lblk, lb & 127, axis=1)
+    lval = jnp.where(jj < lb, lrot[0:_FR], lrot[1:_FR + 1])
+
+    mblk = out_ref[j, pl.ds(mrow, _FR + 1), :]
+    mrot = mblk if _ABLATE == "roll" else pltpu.roll(mblk, mb & 127, axis=1)
+    mval = jnp.where(jj < mb, mrot[0:_FR], mrot[1:_FR + 1])
+
+    val = jnp.where(d4 < opma, lval, mval)
+    mask = (d4 >= opa) & (d4 < enda)
+    _st(out_ref, j, rd, _FR, val, mask)
+
+
+def _exec_kernel_pre(ll_ref, ml_ref, of_ref, op_ref, lp_ref,
+                     rd_ref, lr_ref, sh_ref, mr_ref, oa_ref, en_ref,
+                     ns_ref, lit_ref, out_ref,
+                     lit_rows: int, out_rows: int, L: int = _L):
+    """ZSTD_TPU_EXEC_PRE variant of _exec_kernel: per-record scalar math
+    precomputed in XLA; fused path = 6 SMEM reads + ~8 ALU per sequence."""
+    c = pl.program_id(1)
+    base = c * SEQ_CHUNK
+    count = jnp.clip(ns_ref[0, 0, 0] - base, 0, SEQ_CHUNK)
+    for j in range(1, L):
+        count = jnp.maximum(count,
+                            jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK))
+
+    consts, consts4 = _iota_consts()
+    slow_seq = _make_slow_seq(lit_ref, out_ref, consts, lit_rows, out_rows)
+
+    def seq_body(i, carry):
+        recs = []
+        for j in range(L):
+            recs.append((j, rd_ref[j, 0, i], lr_ref[j, 0, i],
+                         sh_ref[j, 0, i], mr_ref[j, 0, i],
+                         oa_ref[j, 0, i], en_ref[j, 0, i]))
+
+        if _ABLATE == "body":
+            return carry
+
+        if _ABLATE != "fused":
+            for j, rd, lrow, sh, mrow, oa, enda in recs:
+                _fused_pre(lit_ref, out_ref, j, rd, lrow, sh, mrow, oa,
+                           enda, consts4)
+
+        if _ABLATE != "slow":
+            any_slow = recs[0][5] >> 20
+            for r in recs[1:]:
+                any_slow = any_slow | (r[5] >> 20)
+
+            @pl.when(any_slow > 0)
+            def _():
+                for j, rd, lrow, sh, mrow, oa, enda in recs:
+                    @pl.when((oa >> 20) > 0)
+                    def _(j=j):
+                        op = op_ref[j, 0, i]
+                        lp = lp_ref[j, 0, i]
+                        ll = ll_ref[j, 0, i] & 0xFFFFFF
+                        ml = ml_ref[j, 0, i]
+                        off = of_ref[j, 0, i]
+                        slow_seq(j, op, lp, ll, ml, off)
+
+        return carry
+
+    jax.lax.fori_loop(0, count, seq_body, 0)
+
+
+def _pre_words(ll, ml, offset, opv, lpv, common, slow,
+               lit_rows: int, out_rows: int):
+    """XLA-side scalar offload for _exec_kernel_pre: per-record store row,
+    clipped window rows, packed roll boundaries, packed mask bounds + slow
+    flag. Rows for non-fused records are clipped (their fused store is
+    empty, but the loads still execute and must stay in bounds)."""
+    rd = opv >> 7
+    opa = opv & 127
+    opma = jnp.where(common, opa + ll, opa)
+    enda = jnp.where(common, opa + ll + ml, opa)
+
+    dl = lpv - opv
+    lb = 128 - (dl & 127)                      # column boundary, [1, 128]
+    lrow = jnp.clip(rd + (dl >> 7), 0, max(lit_rows - _FR - 2, 0))
+    mm = (-offset) & 127
+    mb = 128 - mm
+    mrow = jnp.clip(rd + ((-offset) >> 7), 0, max(out_rows - _FR - 2, 0))
+
+    w_sh = lb | (mb << 16)
+    w_oa = opa | (opma << 10) | (slow.astype(jnp.int32) << 20)
+    return rd, lrow, w_sh, mrow, w_oa, enda
+
+
+def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
+                 out_ref, lit_rows: int, out_rows: int, L: int = _L):
+    c = pl.program_id(1)
+    base = c * SEQ_CHUNK
+    counts = [jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK)
+              for j in range(L)]
+    count = counts[0]
+    for j in range(1, L):
+        count = jnp.maximum(count, counts[j])
+
+    consts, consts4 = _iota_consts()
+    slow_seq = _make_slow_seq(lit_ref, out_ref, consts, lit_rows, out_rows)
+
     def seq_body(i, carry):
         # cursors are precomputed prefix sums (XLA side): no serial carry —
         # every lane-iteration is fully independent, maximizing ILP. The
@@ -346,10 +466,20 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                              common, lit_rows, out_rows, consts4)
 
         if _ABLATE != "slow":
-            for j, op, lp, ll, ml, off, active, common in recs:
-                @pl.when(active & ~common)
-                def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
-                    slow_seq(j, op, lp, ll, ml, off)
+            # slow records are ~0.2% of the corpus (seq_stats.py) — hoist
+            # the per-lane dispatch behind one any-lane-slow scalar branch
+            # so the common all-fused step pays a single OR + branch
+            # instead of L conditional regions
+            any_slow = recs[0][6] & ~recs[0][7]
+            for j, op, lp, ll, ml, off, active, common in recs[1:]:
+                any_slow = any_slow | (active & ~common)
+
+            @pl.when(any_slow)
+            def _():
+                for j, op, lp, ll, ml, off, active, common in recs:
+                    @pl.when(active & ~common)
+                    def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
+                        slow_seq(j, op, lp, ll, ml, off)
 
         return carry
 
@@ -425,15 +555,24 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
     span_max = 128 * (_FR - 1)
     fits = ((opv & 127) + run) <= span_max
     disjoint = (ml == 0) | (offset >= run)
-    ll = ll | jnp.where(fits & disjoint, 1 << 24, 0)
+    common = fits & disjoint
+    if _PRE:
+        active = (jnp.arange(ll.shape[1], dtype=jnp.int32)[None, :]
+                  < nseq[:, None])
+        slow = active & ~common
+        words = _pre_words(ll, ml, offset, opv, lpv, common, slow,
+                           lit_rows, out_rows)
+    ll = ll | jnp.where(common, 1 << 24, 0)
 
     smem_rec = pl.BlockSpec((_L, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
+    n_words = 6 if _PRE else 0
+    kern = _exec_kernel_pre if _PRE else _exec_kernel
+    extra = tuple(rec3(w) for w in words) if _PRE else ()
     out_i32 = pl.pallas_call(
-        functools.partial(_exec_kernel, lit_rows=lit_rows, out_rows=out_rows),
+        functools.partial(kern, lit_rows=lit_rows, out_rows=out_rows),
         grid=(B // _L, n_chunks),
-        in_specs=[
-            smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
+        in_specs=[smem_rec] * (5 + n_words) + [
             pl.BlockSpec((_L, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_L, lit_rows, 128), lambda l, c: (l, 0, 0),
@@ -446,7 +585,7 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
-      nseq[:, None, None], lit_i32)
+      *extra, nseq[:, None, None], lit_i32)
 
     flat = out_i32.reshape(B, out_rows * 128)[:, PAD:PAD + out_width]
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]

@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-2/3 TPU measurement session: gates -> exec experiment matrix -> bench.
+# Run SOLO (no other TPU process; kill the probe loop first). Steps run
+# sequentially; each logs to $LOG. Gate failures abort the experiment steps.
+#
+#   bash scripts/tpu_session.sh [stage]   # stage: gates|capture|matrix|bench|all
+set -u
+cd /root/repo
+LOG=${LOG:-/tmp/tpu_session.log}
+CAP=/tmp/exec_cap
+stage=${1:-all}
+say() { echo "=== $* ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"; }
+run() { # run <timeout_s> <label> cmd...
+  local t=$1 label=$2; shift 2
+  say "$label: $*"
+  timeout "$t" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  say "$label rc=$rc"
+  return $rc
+}
+
+if [[ $stage == gates || $stage == all ]]; then
+  run 1800 gate-exec python scripts/validate_pallas_exec.py || exit 1
+  run 1800 gate-seq  python scripts/validate_pallas_seq.py  || exit 1
+  run 2400 gate-corpus python scripts/corpus_device.py --tpu || exit 1
+fi
+
+if [[ $stage == capture || $stage == all ]]; then
+  mkdir -p $CAP; rm -f $CAP/*.npz
+  run 2400 capture env ZSTD_TPU_CAPTURE_EXEC=$CAP python scripts/kbench_exec.py capture 32 || exit 1
+fi
+
+if [[ $stage == matrix || $stage == all ]]; then
+  run 1200 replay-base python scripts/kbench_exec.py $CAP
+  # cost attribution (replay only; numbers, not correctness)
+  for ab in body slow fused roll load; do
+    run 1200 "ablate-$ab" env ZSTD_TPU_EXEC_ABLATE=$ab python scripts/kbench_exec.py $CAP
+  done
+  # candidate variants: validate first, then replay-time
+  if run 1800 val-masked env ZSTD_TPU_EXEC_MASKED_STORE=1 python scripts/validate_pallas_exec.py; then
+    run 1200 replay-masked env ZSTD_TPU_EXEC_MASKED_STORE=1 python scripts/kbench_exec.py $CAP
+  fi
+  if run 1800 val-pre env ZSTD_TPU_EXEC_PRE=1 python scripts/validate_pallas_exec.py; then
+    run 1200 replay-pre env ZSTD_TPU_EXEC_PRE=1 python scripts/kbench_exec.py $CAP
+  fi
+  if run 1800 val-both env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_PRE=1 python scripts/validate_pallas_exec.py; then
+    run 1200 replay-both env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_PRE=1 python scripts/kbench_exec.py $CAP
+  fi
+fi
+
+if [[ $stage == bench || $stage == all ]]; then
+  run 3600 bench python bench.py 128 none
+fi
+say done

@@ -43,8 +43,14 @@ if [[ $stage == matrix || $stage == all ]]; then
   if run 1800 val-pre env ZSTD_TPU_EXEC_PRE=1 python scripts/validate_pallas_exec.py; then
     run 1200 replay-pre env ZSTD_TPU_EXEC_PRE=1 python scripts/kbench_exec.py $CAP
   fi
+  if run 1800 val-split env ZSTD_TPU_EXEC_SPLIT=1 python scripts/validate_pallas_exec.py; then
+    run 1200 replay-split env ZSTD_TPU_EXEC_SPLIT=1 python scripts/kbench_exec.py $CAP
+  fi
   if run 1800 val-both env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_PRE=1 python scripts/validate_pallas_exec.py; then
     run 1200 replay-both env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_PRE=1 python scripts/kbench_exec.py $CAP
+  fi
+  if run 1800 val-ms env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_SPLIT=1 python scripts/validate_pallas_exec.py; then
+    run 1200 replay-ms env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_SPLIT=1 python scripts/kbench_exec.py $CAP
   fi
 fi
 

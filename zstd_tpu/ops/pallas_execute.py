@@ -88,6 +88,13 @@ _ABLATE = os.environ.get("ZSTD_TPU_EXEC_ABLATE", "")
 # PERF.md: "one packed read beats five ALU ops" — scalar issue paces the
 # per-sequence loop. Validate on device before flipping the default.
 _PRE = os.environ.get("ZSTD_TPU_EXEC_PRE", "") == "1"
+# EXPERIMENT (opt-in, ZSTD_TPU_EXEC_SPLIT=1): split the fused store into a
+# match-only store (always) plus a conditional literal store — ll == 0 for
+# ~50% of corpus sequences (seq_stats.py p50), and skipping the literal
+# window gather there drops ~6 of the ~16 fused-path vector ops at the
+# price of a per-record scalar branch and a second (2,128) store when
+# literals ARE present. Net is modeled ~1.15x; measure on device.
+_SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 _L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
 # fused-path store window rows (span <= 128*(_FR-1) incl. the alignment
@@ -249,6 +256,35 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
     val = jnp.where(d4 < opma, lval, mval)
     mask = (d4 >= opa) & (d4 < enda)
     _st(out_ref, lane, rd, _FR, val, mask)
+
+
+def _fused_split(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
+                 lit_rows: int, out_rows: int, consts4):
+    """ZSTD_TPU_EXEC_SPLIT variant of _fused_short: an unconditional
+    match-only store plus a pl.when-guarded literal store. Sequences with
+    ll == 0 (~half the corpus) skip the literal window gather entirely;
+    sequences with literals pay one extra (_FR,128) store."""
+    jj5, rr, d4 = consts4
+    jj = jj5[:_FR]
+    rd = op >> 7
+    opa = op & 127
+    opma = opa + ll
+    enda = jnp.where(ok, opma + ml, opma)
+
+    mm = (-off) & 127
+    mrot = _window(out_ref, lane, rd + ((-off) >> 7), (128 - mm) & 127, _FR,
+                   out_rows)
+    mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
+    _st(out_ref, lane, rd, _FR, mval, (d4 >= opma) & (d4 < enda))
+
+    @pl.when(ok & (ll > 0))
+    def _():
+        dl = lp - op
+        ml_ = dl & 127
+        lrot = _window(lit_ref, lane, rd + (dl >> 7), (128 - ml_) & 127, _FR,
+                       lit_rows)
+        lval = jnp.where(jj < 128 - ml_, lrot[0:_FR], lrot[1:_FR + 1])
+        _st(out_ref, lane, rd, _FR, lval, (d4 >= opa) & (d4 < opma))
 
 
 def _iota_consts():
@@ -461,9 +497,10 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         # branchless fused path for all four lanes first (their chains are
         # independent — interleaved issue hides each other's load latency)
         if _ABLATE != "fused":
+            fused = _fused_split if _SPLIT else _fused_short
             for j, op, lp, ll, ml, off, active, common in recs:
-                _fused_short(lit_ref, out_ref, j, lp, op, ll, ml, off,
-                             common, lit_rows, out_rows, consts4)
+                fused(lit_ref, out_ref, j, lp, op, ll, ml, off,
+                      common, lit_rows, out_rows, consts4)
 
         if _ABLATE != "slow":
             # slow records are ~0.2% of the corpus (seq_stats.py) — hoist

@@ -56,5 +56,8 @@ fi
 
 if [[ $stage == bench || $stage == all ]]; then
   run 3600 bench python bench.py 128 none
+  # seq-bucket width past the 2048 cap (kbench trend unsaturated; VMEM
+  # math allows 4096 at typical stream widths)
+  run 3600 bench-seq4096 env ZSTD_TPU_SEQ_BMAX=4096 python bench.py 128 none
 fi
 say done

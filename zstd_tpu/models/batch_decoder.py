@@ -496,7 +496,9 @@ class BatchDecoder:
         dev["seq_plan"] = []
         for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
                                  [int(batch.seq_n[i]) for i in live],
-                                 SEQ_LANE_OVERHEAD, bmax=2048):
+                                 SEQ_LANE_OVERHEAD,
+                                 bmax=int(os.environ.get(
+                                     "ZSTD_TPU_SEQ_BMAX", "2048"))):
             lanes = [live[r] for r in rows]
             tws = tuple(
                 _pow2(max(1 << int(logs[tid[i]]) for i in lanes), lo=32)

@@ -274,6 +274,11 @@ class Framer:
         meta.out_len = (header.frame_content_size
                         if header.frame_content_size is not None else -1)
         pos = header.header_size
+        # zero-copy block walk: all section/payload slicing below works on
+        # memoryviews (the mv keeps `data` alive for lanes that store
+        # sub-views until build()); at 128 MiB batches the bytes-slice tail
+        # copies this replaces were ~40% of prepare()
+        mv = memoryview(data)
 
         while True:
             bh = blocks_mod.parse_block_header(data[pos:pos + 3])
@@ -294,7 +299,7 @@ class Framer:
                                         of=1 if n > 1 else 0)
                 fr["out_bound"] += n
             elif bh.block_type == C.BLOCK_RAW:
-                chunk = data[pos:pos + bh.block_size]
+                chunk = mv[pos:pos + bh.block_size]
                 if len(chunk) < bh.block_size:
                     raise ZstdError("truncated raw block")
                 pos += bh.block_size
@@ -302,7 +307,7 @@ class Framer:
                 self._add_synthetic(fr, ll=len(chunk), ml=0, of=0)
                 fr["out_bound"] += len(chunk)
             else:
-                content = data[pos:pos + bh.block_size]
+                content = mv[pos:pos + bh.block_size]
                 if len(content) < bh.block_size:
                     raise ZstdError("truncated compressed block")
                 pos += bh.block_size
@@ -341,16 +346,16 @@ class Framer:
         if section.lit_type == C.LIT_RAW:
             if p + regen > len(content):
                 raise ZstdError("truncated raw literals")
-            self._add_literal_bytes(fr, bytes(content[p:p + regen]))
+            self._add_literal_bytes(fr, content[p:p + regen])
             p += regen
         elif section.lit_type == C.LIT_RLE:
             if p + 1 > len(content):
                 raise ZstdError("truncated rle literals")
-            self._add_literal_bytes(fr, content[p:p + 1] * regen)
+            self._add_literal_bytes(fr, bytes(content[p:p + 1]) * regen)
             p += 1
         else:
             comp = section.compressed_size
-            payload = bytes(content[p:p + comp])
+            payload = content[p:p + comp]
             if len(payload) < comp:
                 raise ZstdError("truncated compressed literals")
             p += comp
@@ -402,7 +407,7 @@ class Framer:
         rp += used
         cur_ml, used = self._setup_fse(sh.ml_mode, rest[rp:], cur_ml, "ml")
         rp += used
-        bitstream = bytes(rest[rp:])
+        bitstream = rest[rp:]
         if not bitstream:
             raise ZstdError("empty sequences bitstream")
 
@@ -435,6 +440,10 @@ class Framer:
         """
         from zstd_tpu.oracle.sequences import _native_runtime
 
+        # a Huffman table description is <= 128 bytes by construction
+        # (direct: <= 128 weights / 2 per byte; FSE-compressed: header
+        # byte < 128 bounds the payload) — bound the bytes() copy
+        payload = bytes(payload[:144])
         rt = _native_runtime()
         if rt is not None:
             res = rt.huff_parse(payload)
@@ -465,10 +474,12 @@ class Framer:
         self.huff_nranks.append(nranks)
         return tid
 
-    def _add_huff_lane(self, stream: bytes, tid: int, nsym: int,
+    def _add_huff_lane(self, stream, tid: int, nsym: int,
                        fidx: int, dst_off: int) -> None:
+        # stream may be a memoryview into the frame bytes (zero-copy walk);
+        # build() copies it into the batch array via np.frombuffer
         self.huff_lanes.append(dict(
-            stream=bytes(stream), pos=host_initial_position(bytes(stream)),
+            stream=stream, pos=host_initial_position(stream),
             tid=tid, nsym=nsym, frame=fidx, dst=dst_off))
 
     def _register_dict(self, d):
@@ -519,16 +530,21 @@ class Framer:
         if mode == C.MODE_FSE:
             from zstd_tpu.oracle.sequences import _native_runtime
 
+            # an FSE table description is < 512 bytes by construction
+            # (<= 53 symbols x <= 11 bits + repeat flags at acc_log <= 9);
+            # slicing bounds the bytes() copy the parsers take, instead of
+            # copying the whole remaining block tail per setup
+            desc = bytes(data[:512])
             rt = _native_runtime()
             if rt is not None:
-                res = rt.fse_parse_packed(bytes(data), max_logs[kind],
+                res = rt.fse_parse_packed(desc, max_logs[kind],
                                           widths[kind])
                 if isinstance(res, tuple):
                     row, acc_log, consumed = res
                     tid = caches[kind].add(row)
                     logs[kind].append(acc_log)
                     return tid, consumed
-            rdr = BitReader(bytes(data))
+            rdr = BitReader(desc)
             t = fse.parse_fse_table(rdr, max_logs[kind])
             tid = caches[kind].add(pack_fse_table(t, widths[kind]))
             logs[kind].append(t.acc_log)

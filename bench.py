@@ -215,5 +215,20 @@ def main():
     print(json.dumps(result))
 
 
+def _fallback_main(exc: BaseException):
+    """Last-resort result line: a kernel/compile failure on the device path
+    must still leave the driver a parseable record (correct=false), not a
+    stack trace and no JSON."""
+    print(json.dumps({
+        "metric": "batched_decode_throughput", "value": 0.0,
+        "unit": "GB/s/chip", "vs_baseline": 0.0, "correct": False,
+        "error": f"{type(exc).__name__}: {exc}"[:400],
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — see _fallback_main
+        _fallback_main(e)
+        raise

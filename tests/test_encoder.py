@@ -131,3 +131,46 @@ def test_fcs_streaming_pledge_mismatch_raises():
     with pytest.raises(EncodeError):
         compress(io.BytesIO(b"x" * 100), io.BytesIO(),
                  CompressionLevel.FASTEST, content_size=99)
+
+
+def test_cross_block_window_matches():
+    """Matches reach across 128 KiB block boundaries up to the advertised
+    window (beyond the reference's per-slice reach): a second block that
+    repeats first-block content must compress to almost nothing, on the
+    native one-shot, the streaming, and the batched paths identically."""
+    import io
+    import random
+
+    import zstandard
+
+    from zstd_tpu.common.config import CodecConfig
+    from zstd_tpu.encoding import frame_enc
+    from zstd_tpu.models.batch_encoder import BatchEncoder
+    from zstd_tpu.oracle import decode_all
+
+    rng = random.Random(11)
+    first = bytes(rng.randrange(256) for _ in range(131072))
+    data = first + first[:40000]  # block 2 = a copy of block 1's head
+    cfg = CodecConfig()
+
+    z = frame_enc.compress_to_vec(data, config=cfg)
+    # without cross-block reach block 2 is incompressible (random bytes);
+    # with it the copy costs a handful of sequence records
+    assert len(z) < 140000, len(z)
+    assert zstandard.ZstdDecompressor().decompress(
+        bytes(z), max_output_size=len(data)) == data
+    assert decode_all(bytes(z)) == data
+
+    # the advertised window shrinks to the content size (<= 256 KiB here)
+    wdesc = z[5]
+    assert (10 + (wdesc >> 3)) == 18, wdesc
+
+    out = io.BytesIO()
+    eff = CodecConfig(**{**cfg.__dict__, "window_log":
+                         frame_enc.effective_window_log(
+                             len(data), cfg.window_log)})
+    frame_enc.compress(io.BytesIO(data), out,
+                       frame_enc.CompressionLevel.FASTEST, eff)
+    assert out.getvalue() == bytes(z)
+    (zb,) = BatchEncoder(cfg).compress_frames([data])
+    assert bytes(zb) == bytes(z)

@@ -64,8 +64,14 @@ def test_frame_parity_and_roundtrip(level):
 
 
 def test_streaming_block_path_matches_oneshot():
-    cfg = CodecConfig()
     data = open("/root/repo/VERDICT.md", "rb").read() * 40
+    # the one-shot path shrinks the advertised window to the (known)
+    # content size; hand the streaming side the same effective config so
+    # the comparison pins the block path, not the size knowledge
+    base = CodecConfig()
+    cfg = CodecConfig(**{**base.__dict__, "window_log":
+                         frame_enc.effective_window_log(
+                             len(data), base.window_log)})
     out = io.BytesIO()
     frame_enc.compress(io.BytesIO(data), out, CompressionLevel.FASTEST, cfg)
     oneshot = frame_enc.compress_to_vec(data, CompressionLevel.FASTEST, cfg)

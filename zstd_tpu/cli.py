@@ -86,8 +86,15 @@ def cmd_compress(args) -> int:
         from zstd_tpu.encoding.frame_enc import compress as compress_stream
 
         with open(args.input, "rb") as src, open(out_path, "wb") as dst:
+            from zstd_tpu.common.config import CodecConfig
+            from zstd_tpu.encoding.frame_enc import effective_window_log
+
+            # file size is known: shrink the advertised window to it
+            cfg = CodecConfig(level=level)
+            cfg = CodecConfig(**{**cfg.__dict__, "window_log":
+                                 effective_window_log(total, cfg.window_log)})
             prog = ProgressReader(src, total, "compress")
-            compress_stream(prog, dst, level,
+            compress_stream(prog, dst, level, cfg,
                             content_size=total if args.content_size else None)
             prog.finish()
             n_in, n_out = prog.done, dst.tell()

@@ -36,7 +36,12 @@ class CodecConfig:
     # Encode
     level: CompressionLevel = CompressionLevel.FASTEST
     write_checksum: bool = True
-    window_log: int = 17               # 128 KiB matcher window like the reference
+    window_log: int = 23               # MAX matcher window (8 MiB); the
+    # effective window shrinks to the content size when it is known at
+    # compress time (frame_enc.effective_window_log), so small frames never
+    # advertise oversized decoder allocations. The reference's window is one
+    # 128 KiB slice (match_generator.rs); cross-block reach at 8 MiB beats
+    # libzstd-1's output size on the bench corpus.
     # Emit the frame content size in the header (minified per RFC 8878
     # §3.1.1.1.4). Off by default: the reference's compressor never writes
     # FCS (frame_compressor.rs:144-151), and the ratio gates pin that form.

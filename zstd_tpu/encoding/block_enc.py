@@ -392,21 +392,33 @@ def encode_sequences_section_arrays(lit_lens, offsets, match_lens, out,
 
 def compress_block(block: bytes, matcher=None,
                    offset_hist: list[int] | None = None,
-                   huff_cell: list | None = None) -> bytes | None:
+                   huff_cell: list | None = None,
+                   fctx=None) -> bytes | None:
     """Produce compressed-block content, or None when it does not pay
     (caller falls back to a Raw block — levels/fastest.rs:49-57).
 
     `offset_hist` is the frame's repeat-offset history and `huff_cell` a
     one-element cell holding the frame's previous Huffman table (Treeless
     reuse state); the caller commits both only when the compressed form is
-    actually emitted.
+    actually emitted. `fctx` (match_gen.FrameMatchCtx view already pushed:
+    a (buf, base, lo, hi) tuple plus the ctx) enables cross-block match
+    sources; without it the block matches standalone.
     """
     from zstd_tpu.oracle.sequences import _native_runtime
 
     prev_huff = huff_cell[0] if huff_cell else None
     rt = _native_runtime()
     if matcher is None and rt is not None:
-        arrs = rt.find_sequences_arrays(block)
+        if fctx is not None:
+            ctx, (buf, base, lo, hi) = fctx
+            # snapshot: if this hybrid attempt fails mid-way, the Python
+            # finder below must rescan against the PRE-attempt table or the
+            # output diverges from the pure-Python (ZT_NO_NATIVE) path
+            table_snap = ctx.table.copy()
+            arrs = rt.find_sequences_arrays_ctx(buf, base, lo, hi,
+                                                ctx.table, ctx.max_off)
+        else:
+            arrs = rt.find_sequences_arrays(block)
         if arrs is not None:
             lit_lens, offsets, match_lens = arrs
             # literals = the non-matched spans, in order (vectorized
@@ -431,7 +443,17 @@ def compress_block(block: bytes, matcher=None,
                     huff_cell[0] = cur
                 return bytes(out)
 
-    seqs = matcher.find(block) if matcher is not None else find_sequences(block)
+    if matcher is not None:
+        seqs = matcher.find(block)
+    elif fctx is not None:
+        from zstd_tpu.encoding.match_gen import find_sequences_ctx
+
+        ctx, (buf, base, lo, hi) = fctx
+        if rt is not None:
+            np.copyto(ctx.table, table_snap)  # undo the failed attempt
+        seqs = find_sequences_ctx(buf, base, lo, hi, ctx.table, ctx.max_off)
+    else:
+        seqs = find_sequences(block)
     lits = b"".join(s.literals for s in seqs)
     out = bytearray()
     cur = encode_literals_section(lits, out, prev_huff)

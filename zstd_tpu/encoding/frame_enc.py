@@ -67,6 +67,17 @@ def _block_header(last: bool, btype: int, size: int) -> bytes:
     return v.to_bytes(3, "little")
 
 
+def effective_window_log(n: int, window_log: int) -> int:
+    """Window actually advertised (and reached by the matcher) for a frame
+    whose content size `n` is known: the configured log is a MAXIMUM, the
+    content size the binding bound — a 4 KiB frame never advertises an
+    8 MiB decoder window. Unknown-size streaming uses the configured log
+    as-is (the caller passes no n)."""
+    if n <= 1:
+        return 10
+    return max(10, min(window_log, (n - 1).bit_length()))
+
+
 class FrameCompressor:
     """Streaming frame compressor over file-like source/drain
     (frame_compressor.rs:38-276)."""
@@ -122,10 +133,26 @@ class FrameCompressor:
             except Exception:
                 self._native = None
         hasher = Xxh64() if cfg.write_checksum else None
-        window_log = (self.matcher.window_size().bit_length() - 1
-                      if self.matcher is not None else cfg.window_log)
+        if self.matcher is not None:
+            window_log = self.matcher.window_size().bit_length() - 1
+        elif content_size is not None:
+            window_log = effective_window_log(content_size, cfg.window_log)
+        else:
+            window_log = cfg.window_log
         self.drain.write(_frame_header(window_log, cfg.write_checksum,
                                        content_size))
+        # cross-block matcher window: the frame-lifetime candidate table
+        # plus a rolling max_off-byte history (the advertised window) —
+        # match sources reach across block boundaries, unlike the
+        # reference's per-slice window. The native BlockCompressor carries
+        # its own table; this ctx serves the Python path (and both advance
+        # the rolling view identically).
+        self._mctx = None
+        if (self.matcher is None
+                and level == CompressionLevel.FASTEST):
+            from zstd_tpu.encoding.match_gen import FrameMatchCtx
+
+            self._mctx = FrameMatchCtx(1 << window_log)
 
         first = True
         written = 0
@@ -165,11 +192,16 @@ class FrameCompressor:
             return
         # Fastest: RLE when uniform, else compressed-unless-it-expands
         if block.count(block[0]) == len(block):
+            if self._mctx is not None:
+                self._mctx.skip(block)  # window advances; no table entries
             drain.write(_block_header(last, C.BLOCK_RLE, len(block)))
             drain.write(block[0:1])
             return
+        view = self._mctx.push(block) if self._mctx is not None else None
         if self._native is not None:
-            compressed = self._native.compress_block(block)
+            buf, base, lo, hi = view
+            compressed = self._native.compress_block(
+                buf, base, lo, hi, self._mctx.max_off)
             if compressed is not None:
                 drain.write(_block_header(last, C.BLOCK_COMPRESSED,
                                           len(compressed)))
@@ -181,7 +213,9 @@ class FrameCompressor:
             return
         hist = list(self._offset_hist)
         huff_cell = [self._huff_table]
-        compressed = compress_block(block, self.matcher, hist, huff_cell)
+        compressed = compress_block(
+            block, self.matcher, hist, huff_cell,
+            fctx=(self._mctx, view) if view is not None else None)
         if compressed is not None and len(compressed) < len(block):
             drain.write(_block_header(last, C.BLOCK_COMPRESSED, len(compressed)))
             drain.write(compressed)
@@ -225,23 +259,27 @@ def compress_to_vec(data, level: CompressionLevel = CompressionLevel.FASTEST,
     data = bytes(data)
     cfg = config or CodecConfig()
     fcs = len(data) if cfg.write_content_size else None
+    # the content size is known here: shrink the advertised window (and the
+    # matcher reach) to it, identically on the native and streaming paths
+    wlog = effective_window_log(len(data), cfg.window_log)
     if (level in (CompressionLevel.UNCOMPRESSED, CompressionLevel.FASTEST)
             and not os.environ.get("ZT_NO_NATIVE")):
         # One-shot native frame build (no per-block Python/ctypes round
         # trips); byte-identical to the streaming path by construction —
         # the ratio-gate and parity tests pin it.
-        if 10 <= cfg.window_log <= 41:
+        if 10 <= wlog <= 41:
             try:
                 from zstd_tpu.runtime import compress_frame as _native_frame
 
                 out = _native_frame(
-                    data, cfg.window_log, cfg.write_checksum,
+                    data, wlog, cfg.write_checksum,
                     1 if level == CompressionLevel.FASTEST else 0,
                     write_fcs=fcs is not None)
             except Exception:
                 out = None
             if out is not None:
                 return out
+    cfg_eff = CodecConfig(**{**cfg.__dict__, "window_log": wlog})
     out = io.BytesIO()
-    compress(io.BytesIO(data), out, level, config, content_size=fcs)
+    compress(io.BytesIO(data), out, level, cfg_eff, content_size=fcs)
     return out.getvalue()

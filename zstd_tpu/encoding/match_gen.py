@@ -44,42 +44,94 @@ def hash5_all(data: np.ndarray) -> np.ndarray:
 
 
 def find_sequences(block: bytes) -> list[RawSequence]:
-    """Greedy single-probe match finding within one block (<=128 KiB)."""
-    n = len(block)
-    if n < MIN_MATCH + 3:
-        return [RawSequence(block, 0, 0)] if n else []
-    data = np.frombuffer(block, dtype=np.uint8)
-    hashes = hash5_all(data)
+    """Greedy single-probe match finding within one standalone block."""
     table = np.full(1 << HASH_LOG, -1, dtype=np.int64)
+    return find_sequences_ctx(block, 0, 0, len(block), table, 1 << 62)
+
+
+def find_sequences_ctx(buf, base: int, lo: int, hi: int, table,
+                       max_off: int) -> list[RawSequence]:
+    """Greedy match finding over block [lo, hi) of a frame.
+
+    `buf` holds the frame bytes from absolute position `base` onward (the
+    caller retains >= max_off + 8 history bytes before lo); `table` is the
+    frame-lifetime candidate table (absolute positions, -1 init once per
+    frame), so match sources reach up to `max_off` bytes back ACROSS block
+    boundaries — beyond the reference's per-slice window
+    (match_generator.rs). Byte-identical to the native zt_find_sequences.
+    """
+    n = hi - lo
+    mv = memoryview(buf)
+    if n < MIN_MATCH + 3:
+        return [RawSequence(bytes(mv[lo - base:hi - base]), 0, 0)] if n else []
+    data = np.frombuffer(mv, dtype=np.uint8)
+    hashes = hash5_all(data[lo - base:hi - base])  # index by pos - lo
+
+    def at(p: int) -> int:
+        return mv[p - base]
 
     seqs: list[RawSequence] = []
-    anchor = 0
-    pos = 0
-    limit = n - MIN_MATCH  # last position where a 5-byte window fits
-    mv = memoryview(block)
+    anchor = lo
+    pos = lo
+    limit = hi - MIN_MATCH  # last position where a 5-byte window fits
     while pos <= limit:
-        h = int(hashes[pos])
+        h = int(hashes[pos - lo])
         cand = int(table[h])
         table[h] = pos
-        if cand >= 0 and mv[cand:cand + MIN_MATCH] == mv[pos:pos + MIN_MATCH]:
+        if (0 <= cand < pos and pos - cand <= max_off
+                and mv[cand - base:cand - base + MIN_MATCH]
+                == mv[pos - base:pos - base + MIN_MATCH]):
             # extend forwards
             ml = MIN_MATCH
-            max_ml = n - pos
-            while ml < max_ml and block[cand + ml] == block[pos + ml]:
+            max_ml = hi - pos
+            while ml < max_ml and at(cand + ml) == at(pos + ml):
                 ml += 1
             # extend backwards into pending literals
-            while pos > anchor and cand > 0 and block[cand - 1] == block[pos - 1]:
+            while pos > anchor and cand > 0 and at(cand - 1) == at(pos - 1):
                 pos -= 1
                 cand -= 1
                 ml += 1
-            seqs.append(RawSequence(block[anchor:pos], pos - cand, ml))
+            seqs.append(RawSequence(bytes(mv[anchor - base:pos - base]),
+                                    pos - cand, ml))
             pos += ml
             anchor = pos
             # register a couple of positions inside the match for future hits
             if pos - 2 > 0 and pos - 2 <= limit:
-                table[int(hashes[pos - 2])] = pos - 2
+                table[int(hashes[pos - 2 - lo])] = pos - 2
         else:
             pos += 1
-    if anchor < n:
-        seqs.append(RawSequence(block[anchor:], 0, 0))
+    if anchor < hi:
+        seqs.append(RawSequence(bytes(mv[anchor - base:hi - base]), 0, 0))
     return seqs
+
+
+class FrameMatchCtx:
+    """Cross-block matcher state for one frame: the frame-lifetime
+    candidate table plus a rolling history window of max_off + 8 bytes
+    (bounded-memory streaming). push(block) returns the (buf, base, lo,
+    hi) view for this block's scan and retains the window for the next."""
+
+    __slots__ = ("table", "max_off", "_hist", "_cur")
+
+    def __init__(self, max_off: int):
+        # int32 so the native finder shares it directly (absolute positions
+        # — frames beyond 2 GiB would overflow; out of scope for Fastest)
+        self.table = np.full(1 << HASH_LOG, -1, dtype=np.int32)
+        self.max_off = max_off
+        self._hist = b""
+        self._cur = 0
+
+    def push(self, block: bytes):
+        buf = self._hist + block
+        lo = self._cur
+        hi = lo + len(block)
+        base = lo - len(self._hist)
+        keep = self.max_off + 8
+        self._hist = buf[-keep:] if len(buf) > keep else buf
+        self._cur = hi
+        return buf, base, lo, hi
+
+    def skip(self, block: bytes) -> None:
+        """Advance past a block emitted without the matcher (RLE/empty):
+        its bytes stay in the rolling window as future match sources."""
+        self.push(block)

@@ -107,13 +107,23 @@ class BatchEncoder:
         if len(payload) == 0:
             return [("empty",)]
         offset_hist = list(CC.INITIAL_REPEAT_OFFSETS)
+        # cross-block matcher window (byte parity with the host
+        # FrameCompressor): the whole payload is in memory, so the ctx view
+        # is just (payload, 0, off, off+len) with the frame-lifetime table
+        from zstd_tpu.encoding.frame_enc import effective_window_log
+        from zstd_tpu.encoding.match_gen import FrameMatchCtx
+
+        mctx = FrameMatchCtx(
+            1 << effective_window_log(len(payload), self.config.window_log))
         for off in range(0, len(payload), BLOCK_SIZE):
             block = payload[off:off + BLOCK_SIZE]
             if block.count(block[0]) == len(block):
                 blocks.append(("rle", block[0], len(block)))
                 continue
+            view = (payload, 0, off, off + len(block))
             hist = list(offset_hist)
-            plan = self._plan_compressed_block(block, huff_lanes, seq_lanes, hist)
+            plan = self._plan_compressed_block(block, huff_lanes, seq_lanes,
+                                               hist, fctx=(mctx, view))
             if plan is not None:
                 offset_hist = hist  # commit: the block will be emitted compressed
                 blocks.append(plan)
@@ -121,15 +131,24 @@ class BatchEncoder:
                 blocks.append(("raw", block))
         return blocks
 
-    def _plan_compressed_block(self, block, huff_lanes, seq_lanes, offset_hist):
+    def _plan_compressed_block(self, block, huff_lanes, seq_lanes,
+                               offset_hist, fctx=None):
         """Returns a plan whose exact assembled size beats raw, else None.
 
         Sizes are computed exactly at plan time (sum of code lengths /
         simulated state bits) so the raw-vs-compressed decision — and the
         repeat-offset history commit — happen before any device work,
         keeping output byte-identical to the host FrameCompressor."""
-        seqs = (self.matcher.find(block) if self.matcher is not None
-                else find_sequences(block))
+        if self.matcher is not None:
+            seqs = self.matcher.find(block)
+        elif fctx is not None:
+            from zstd_tpu.encoding.match_gen import find_sequences_ctx
+
+            ctx, (buf, base, lo, hi) = fctx
+            seqs = find_sequences_ctx(buf, base, lo, hi, ctx.table,
+                                      ctx.max_off)
+        else:
+            seqs = find_sequences(block)
         lits = b"".join(s.literals for s in seqs)
 
         # literals representation + exact section size
@@ -304,7 +323,11 @@ class BatchEncoder:
 
     def _assemble_frame(self, payload, frame_plan, huff_streams, seq_streams):
         cfg = self.config
-        out = bytearray(_frame_header(cfg.window_log, cfg.write_checksum))
+        from zstd_tpu.encoding.frame_enc import effective_window_log
+
+        out = bytearray(_frame_header(
+            effective_window_log(len(payload), cfg.window_log),
+            cfg.write_checksum))
         hasher = Xxh64() if cfg.write_checksum else None
         if hasher is not None:
             hasher.update(payload)

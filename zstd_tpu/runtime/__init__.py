@@ -86,8 +86,9 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.zt_find_sequences.restype = ctypes.c_int64
     lib.zt_find_sequences.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.zt_make_triples.restype = ctypes.c_int64
     lib.zt_make_triples.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -121,7 +122,8 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.zt_compress_block2.restype = ctypes.c_int64
     lib.zt_compress_block2.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64]
     lib.zt_compress_frame.restype = ctypes.c_int64
     lib.zt_compress_frame.argtypes = [
@@ -325,25 +327,41 @@ _FIND_TABLE = None
 
 
 def find_sequences_arrays(block: bytes):
-    """Native greedy match finder. Returns (lit_len, offset, match_len)
-    int32 arrays (trailing-literals record has offset == match_len == 0),
-    or None when the library is unavailable."""
+    """Native greedy match finder over a standalone block. Returns
+    (lit_len, offset, match_len) int32 arrays (trailing-literals record has
+    offset == match_len == 0), or None when the library is unavailable."""
     global _FIND_TABLE
     import numpy as np
 
     lib = get_lib()
     if lib is None:
         return None
-    n = len(block)
+    if _FIND_TABLE is None:
+        _FIND_TABLE = np.empty(1 << 16, np.int32)
+    _FIND_TABLE.fill(-1)
+    return find_sequences_arrays_ctx(bytes(block), 0, 0, len(block),
+                                     _FIND_TABLE, 1 << 62)
+
+
+def find_sequences_arrays_ctx(buf, base: int, lo: int, hi: int,
+                              table, max_off: int):
+    """Native match finder over block [lo, hi) of a frame whose bytes from
+    absolute position `base` are in `buf`. `table` (int32[1<<16], -1 init
+    once per frame) carries candidates across blocks, so matches reach up
+    to max_off bytes back across block boundaries."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = hi - lo
     cap = n // 3 + 4  # a match consumes >= 5 bytes; literals-only is 1 rec
     ll = np.empty(cap, np.int32)
     off = np.empty(cap, np.int32)
     ml = np.empty(cap, np.int32)
-    if _FIND_TABLE is None:
-        _FIND_TABLE = np.empty(1 << 16, np.int32)
-    m = lib.zt_find_sequences(bytes(block), n, ll.ctypes.data,
+    m = lib.zt_find_sequences(bytes(buf), base, lo, hi, ll.ctypes.data,
                               off.ctypes.data, ml.ctypes.data, cap,
-                              _FIND_TABLE.ctypes.data)
+                              table.ctypes.data, max_off)
     if m < 0:
         return None
     return ll[:m], off[:m], ml[:m]
@@ -527,7 +545,8 @@ class BlockCompressor:
     block_enc.py::compress_block with commit-on-emit semantics owned by
     the caller via `commit()`."""
 
-    __slots__ = ("_lib", "_hist", "_huff", "_hist_c", "_huff_c", "_out")
+    __slots__ = ("_lib", "_hist", "_huff", "_hist_c", "_huff_c", "_out",
+                 "_table")
 
     def __init__(self):
         import numpy as np
@@ -540,20 +559,31 @@ class BlockCompressor:
         self._hist_c = np.empty(3, np.int64)
         self._huff_c = np.empty(771, np.int32)
         self._out = None
+        # frame-lifetime matcher table (one BlockCompressor per frame):
+        # carries candidates across blocks like the one-shot zt_compress_frame
+        self._table = np.full(1 << 16, -1, np.int32)
 
-    def compress_block(self, block: bytes) -> bytes | None:
-        """Returns compressed content strictly smaller than `block`, or
+    def compress_block(self, buf, base: int = 0, lo: int = 0,
+                       hi: int | None = None,
+                       max_off: int = 1 << 62) -> bytes | None:
+        """Compress block [lo, hi) of a frame whose bytes from absolute
+        position `base` are in `buf` (a bare block is `compress_block(b)`).
+        Returns compressed content strictly smaller than the block, or
         None when compression does not pay / native path errored (the
         caller emits Raw or falls back to Python)."""
         import numpy as np
 
-        cap = 2 * len(block) + 4096
+        if hi is None:
+            hi = len(buf)
+        n = hi - lo
+        cap = 2 * n + 4096
         if self._out is None or len(self._out) < cap:
             self._out = np.empty(cap, np.uint8)
         np.copyto(self._hist_c, self._hist)
         np.copyto(self._huff_c, self._huff)
         r = self._lib.zt_compress_block2(
-            bytes(block), len(block), self._hist_c.ctypes.data,
+            bytes(buf), base, lo, hi, self._table.ctypes.data, max_off,
+            self._hist_c.ctypes.data,
             self._huff_c.ctypes.data, self._out.ctypes.data, cap)
         if r <= 0:
             return None

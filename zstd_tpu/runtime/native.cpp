@@ -583,11 +583,22 @@ int64_t zt_execute_append(const int32_t* ll, const int32_t* ml,
 // has offset == match_len == 0. Returns record count, or -1 if out_cap is
 // too small.
 
-int64_t zt_find_sequences(const uint8_t* data, int64_t n,
+// Greedy single-probe match finder over one block [lo, hi) of a frame.
+// `buf` holds the frame bytes from absolute position `base` onward (the
+// caller keeps >= max_off + 8 bytes of history before lo, or everything
+// when base == 0). `table` is the FRAME-lifetime candidate table (int32
+// absolute positions, -1 empty) — the CALLER initializes it once per
+// frame, so match sources reach up to max_off bytes back ACROSS earlier
+// blocks (the advertised window), unlike the reference's per-slice
+// window (match_generator.rs — its window also spans one slice).
+int64_t zt_find_sequences(const uint8_t* buf, int64_t base,
+                          int64_t lo, int64_t hi,
                           int32_t* out_ll, int32_t* out_off, int32_t* out_ml,
-                          int64_t out_cap, int32_t* table /* 1<<16, -1 init */) {
+                          int64_t out_cap, int32_t* table, int64_t max_off) {
     const int64_t MIN_MATCH = 5, HASH_LOG = 16;
     const uint64_t POLY = 0x00CF3BCCDCABULL;
+    const uint8_t* data = buf - base;  // data[p] = byte at absolute pos p
+    int64_t n = hi - lo;
     int64_t count = 0;
     if (n < MIN_MATCH + 3) {
         if (n > 0) {
@@ -597,13 +608,12 @@ int64_t zt_find_sequences(const uint8_t* data, int64_t n,
         }
         return count;
     }
-    memset(table, 0xFF, sizeof(int32_t) << HASH_LOG);  // all -1
-    int64_t anchor = 0, pos = 0;
-    int64_t limit = n - MIN_MATCH;
+    int64_t anchor = lo, pos = lo;
+    int64_t limit = hi - MIN_MATCH;
     // 5-byte fetch: one unaligned word load when 8 bytes are in bounds
     // (all but the last 3 eligible positions), byte assembly otherwise
     auto rd40 = [&](int64_t p) -> uint64_t {
-        if (p + 8 <= n) return rd64(data + p) & 0xFFFFFFFFFFULL;
+        if (p + 8 <= hi) return rd64(data + p) & 0xFFFFFFFFFFULL;
         uint64_t v = 0;
         for (int k = 0; k < 5; k++) v |= (uint64_t)data[p + k] << (8 * k);
         return v;
@@ -616,9 +626,10 @@ int64_t zt_find_sequences(const uint8_t* data, int64_t n,
         uint32_t h = (uint32_t)((v40 * POLY) >> (64 - HASH_LOG));
         int64_t cand = table[h];
         table[h] = (int32_t)pos;
-        if (cand >= 0 && rd40(cand) == v40) {
+        if (cand >= 0 && cand < pos && pos - cand <= max_off
+            && rd40(cand) == v40) {
             int64_t ml = MIN_MATCH;
-            int64_t max_ml = n - pos;
+            int64_t max_ml = hi - pos;
             // word-at-a-time extension (cand < pos keeps loads in bounds)
             while (ml + 8 <= max_ml) {
                 uint64_t x = rd64(data + cand + ml) ^ rd64(data + pos + ml);
@@ -643,9 +654,9 @@ int64_t zt_find_sequences(const uint8_t* data, int64_t n,
             pos++;
         }
     }
-    if (anchor < n) {
+    if (anchor < hi) {
         if (count >= out_cap) return -1;
-        out_ll[count] = (int32_t)(n - anchor);
+        out_ll[count] = (int32_t)(hi - anchor);
         out_off[count] = 0; out_ml[count] = 0;
         count++;
     }
@@ -2043,15 +2054,19 @@ static void enc_ws_free(ZtEncWs* ws) {
 // not pay (caller emits Raw), or <0 on internal error (caller falls back
 // to the Python path). hist/huff are mutated; the caller owns commit
 // semantics (frame_enc.py::_write_block copies, commits on emit).
-static int64_t compress_block_c(const uint8_t* block, int64_t n,
+static int64_t compress_block_c(const uint8_t* buf, int64_t base,
+                                int64_t lo, int64_t hi,
+                                int32_t* table, int64_t max_off,
                                 int64_t* hist, HuffEncT* huff, ZtEncWs* ws) {
+    const int64_t n = hi - lo;
     int32_t* ll = ws->recs;
     int32_t* off = ws->recs + ws->rec_cap;
     int32_t* ml = ws->recs + 2 * ws->rec_cap;
-    int64_t nrec = zt_find_sequences(block, n, ll, off, ml, ws->rec_cap,
-                                     ws->hash);
+    int64_t nrec = zt_find_sequences(buf, base, lo, hi, ll, off, ml,
+                                     ws->rec_cap, table, max_off);
     if (nrec < 0) return -2;
     // literals: the non-matched spans in order
+    const uint8_t* block = buf + (lo - base);
     int64_t lp = 0, pos = 0;
     for (int64_t i = 0; i < nrec; i++) {
         memcpy(ws->lits + lp, block + pos, (size_t)ll[i]);
@@ -2074,11 +2089,13 @@ static int64_t compress_block_c(const uint8_t* block, int64_t n,
 // huff_state: int32[771] = {valid, nlens, max_bits, lens[256], codes[256],
 // weights[256]} (codes stored bit-identical in int32 slots). Mutated in
 // place; the caller owns commit semantics.
-int64_t zt_compress_block2(const uint8_t* block, int64_t n,
+int64_t zt_compress_block2(const uint8_t* buf, int64_t base,
+                           int64_t lo, int64_t hi,
+                           int32_t* table, int64_t max_off,
                            int64_t* hist, int32_t* huff_state,
                            uint8_t* out, int64_t cap) {
     ZtEncWs ws;
-    if (enc_ws_init(&ws, n) < 0) { enc_ws_free(&ws); return -1; }
+    if (enc_ws_init(&ws, hi - lo) < 0) { enc_ws_free(&ws); return -1; }
     HuffEncT huff;
     huff.valid = huff_state[0];
     huff.nlens = huff_state[1];
@@ -2088,7 +2105,8 @@ int64_t zt_compress_block2(const uint8_t* block, int64_t n,
         huff.codes[i] = (uint32_t)huff_state[259 + i];
         huff.weights[i] = huff_state[515 + i];
     }
-    int64_t r = compress_block_c(block, n, hist, &huff, &ws);
+    int64_t r = compress_block_c(buf, base, lo, hi, table, max_off,
+                                 hist, &huff, &ws);
     if (r > 0) {
         if (r > cap) { enc_ws_free(&ws); return -1; }
         memcpy(out, ws.blockout, (size_t)r);
@@ -2151,6 +2169,11 @@ int64_t zt_compress_frame(const uint8_t* data, int64_t n,
         return -1;
     }
     int64_t hist[3] = {1, 4, 8};
+    // frame-lifetime matcher table: matches reach up to the advertised
+    // window across block boundaries (raw-emitted blocks keep their table
+    // entries too — their bytes are in the decoded output either way)
+    memset(ws.hash, 0xFF, (size_t)(1 << 16) * 4);
+    const int64_t max_off = 1LL << window_log;
     HuffEncT huff;
     huff.valid = 0;
     huff.nlens = 0;
@@ -2197,7 +2220,8 @@ int64_t zt_compress_frame(const uint8_t* data, int64_t n,
         }
         int64_t hist_c[3] = {hist[0], hist[1], hist[2]};
         HuffEncT huff_c = huff;
-        int64_t r = compress_block_c(block, bn, hist_c, &huff_c, &ws);
+        int64_t r = compress_block_c(data, 0, offp, offp + bn, ws.hash,
+                                     max_off, hist_c, &huff_c, &ws);
         if (r < 0) { rc = (int)r; break; }
         if (r > 0 && r < bn) {
             uint32_t v = (uint32_t)((last ? 1 : 0) | (BLOCK_COMPRESSED << 1)

@@ -120,6 +120,24 @@ def bench_encode(mb: int = 8) -> dict:
     res = {"encode_mbps": round(n / dt_host / 1e6, 2),
            "encode_ratio": round(sum(len(o) for o in outs) / n, 4),
            "encode_correct": correct}
+
+    # multi-block single frame: the cross-block matcher window scenario
+    # (ratio_vs_libzstd1 < 1 means our Fastest beats libzstd level 1)
+    from zstd_tpu.encoding.frame_enc import compress_to_vec
+
+    big = b"".join(make_corpus(16, seed=3))
+    z = compress_to_vec(big)
+    t0 = time.time()
+    z = compress_to_vec(big)
+    dt = time.time() - t0
+    lz1 = zstandard.ZstdCompressor(level=1).compress(big)
+    res.update({
+        "encode_1shot_mbps": round(len(big) / dt / 1e6, 2),
+        "encode_big_ratio": round(len(z) / len(big), 4),
+        "encode_ratio_vs_libzstd1": round(len(z) / len(lz1), 4),
+        "encode_big_correct":
+            dctx.decompress(bytes(z), max_output_size=len(big)) == big,
+    })
     try:
         enc = BatchEncoder()
         douts = enc.compress_frames(payloads)  # warmup + compile

@@ -29,7 +29,8 @@ CORPUS = "/root/reference/ruzstd/decodecorpus_files"
 # 5,227,598 came from a slightly different harness. Creeping above the
 # current number by >0.1% flags an unintended size regression.
 ROUND1_TOTAL = 5_227_637
-CURRENT_TOTAL = 5_227_637
+# round 2: cross-block matcher window + content-bounded window_log
+CURRENT_TOTAL = 4_989_862
 
 
 def _originals():

@@ -59,3 +59,30 @@ def test_soak_device():
     for _ in range(8):
         z, want = _stream(rng)
         assert decode_all_device(z) == want
+
+
+def test_soak_encoder_multiblock():
+    """OUR encoder's cross-block matcher window under randomized
+    multi-block payloads (incl. RLE blocks interleaved between compressed
+    ones — the rolling window must advance past them): both directions
+    cross-checked against libzstd."""
+    from zstd_tpu.common.config import CodecConfig
+    from zstd_tpu.encoding.frame_enc import compress_to_vec
+
+    rng = random.Random(33)
+    dctx = zstandard.ZstdDecompressor()
+    for it in range(8):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            mode = rng.randrange(5)
+            n = rng.randint(0, 400_000)
+            if mode == 4:  # uniform run sized to dominate whole blocks
+                parts.append(bytes([rng.getrandbits(8)]) * n)
+            else:
+                parts.append(_payload(rng, n, mode))
+        data = b"".join(parts)
+        cfg = CodecConfig(write_checksum=rng.random() < 0.5,
+                          write_content_size=rng.random() < 0.5)
+        z = bytes(compress_to_vec(data, config=cfg))
+        assert dctx.decompress(z, max_output_size=len(data) + 64) == data, it
+        assert decode_all(z) == data, it

@@ -86,3 +86,5 @@ def test_soak_encoder_multiblock():
         z = bytes(compress_to_vec(data, config=cfg))
         assert dctx.decompress(z, max_output_size=len(data) + 64) == data, it
         assert decode_all(z) == data, it
+        if it < 3:  # device pipeline on a few (interpret mode is slow)
+            assert decode_all_device(z) == data, it

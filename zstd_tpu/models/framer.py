@@ -135,6 +135,7 @@ class _TableCache:
 
 
 _PREDEFINED = {}
+_PREDEF_PACKED = {}  # kind -> packed device row of the predefined table
 
 
 def _predefined_table(kind: str):
@@ -159,6 +160,7 @@ class Framer:
         """
         self.dicts = dicts or {}
         self._dict_tids = {}   # dict_id -> (huff_tid, ll, of, ml tids)
+        self._std_tids = {}    # predefined/RLE table tid memo
         self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
         self.seq_lanes = []    # (stream_bytes, pos, n, ll/of/ml tid, frame, dst, lit_total, trail_slot)
         self.huff_tabs = _TableCache(2048)
@@ -216,6 +218,7 @@ class Framer:
             # strip this frame's lanes/tables/rows so a fallback frame does
             # not inflate the whole batch's widths
             self._dict_tids.clear()  # stripped table rows invalidate ids
+            self._std_tids.clear()
             (self.huff_lanes[marks[0]:], self.seq_lanes[marks[1]:],
              self.huff_tabs.rows[marks[2]:], self.huff_maxbits[marks[3]:],
              self.ll_tabs.rows[marks[4]:], self.of_tabs.rows[marks[5]:],
@@ -516,16 +519,31 @@ class Framer:
         widths = {"ll": 512, "of": 256, "ml": 512}
         max_logs = {"ll": C.LL_MAX_LOG, "of": C.OF_MAX_LOG, "ml": C.ML_MAX_LOG}
         if mode == C.MODE_PREDEFINED:
+            # packing + re-hashing the constant predefined row per block was
+            # ~45% of the 128 MiB walk — memoize the registered tid (cleared
+            # with _dict_tids on fallback-frame rollback: stripped rows
+            # invalidate ids)
+            memo = self._std_tids.get(("pred", kind))
+            if memo is not None:
+                return memo[0], 0  # logs[tid] already registered
             t = _predefined_table(kind)
-            tid = caches[kind].add(pack_fse_table(t, widths[kind]))
+            row = _PREDEF_PACKED.get(kind)
+            if row is None:
+                row = _PREDEF_PACKED[kind] = pack_fse_table(t, widths[kind])
+            tid = caches[kind].add(row)
             logs[kind].append(t.acc_log)
+            self._std_tids[("pred", kind)] = (tid, t.acc_log)
             return tid, 0
         if mode == C.MODE_RLE:
             if len(data) < 1:
                 raise ZstdError("missing RLE byte")
+            memo = self._std_tids.get(("rle", kind, data[0]))
+            if memo is not None:
+                return memo[0], 1  # logs[tid] already registered
             t = fse.build_table_from_rle(data[0])
             tid = caches[kind].add(pack_fse_table(t, widths[kind]))
             logs[kind].append(0)
+            self._std_tids[("rle", kind, data[0])] = (tid, 0)
             return tid, 1
         if mode == C.MODE_FSE:
             from zstd_tpu.oracle.sequences import _native_runtime

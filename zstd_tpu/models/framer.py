@@ -513,11 +513,15 @@ class Framer:
         self._dict_tids[key] = out
         return out
 
+    _FSE_WIDTHS = {"ll": 512, "of": 256, "ml": 512}
+    _FSE_MAX_LOGS = {"ll": C.LL_MAX_LOG, "of": C.OF_MAX_LOG,
+                     "ml": C.ML_MAX_LOG}
+
     def _setup_fse(self, mode, data, cur, kind):
         caches = {"ll": self.ll_tabs, "of": self.of_tabs, "ml": self.ml_tabs}
         logs = {"ll": self.ll_logs, "of": self.of_logs, "ml": self.ml_logs}
-        widths = {"ll": 512, "of": 256, "ml": 512}
-        max_logs = {"ll": C.LL_MAX_LOG, "of": C.OF_MAX_LOG, "ml": C.ML_MAX_LOG}
+        widths = self._FSE_WIDTHS
+        max_logs = self._FSE_MAX_LOGS
         if mode == C.MODE_PREDEFINED:
             # packing + re-hashing the constant predefined row per block was
             # ~45% of the 128 MiB walk — memoize the registered tid (cleared

@@ -124,3 +124,57 @@ def test_native_encoder_byte_identical(monkeypatch):
         assert zn == zp, f"payload len {len(p)}"
         assert zstandard.ZstdDecompressor().decompress(
             zn, max_output_size=len(p) + 64) == p
+
+
+def test_walk_matches_python_framer():
+    """The one-call native frame walk (zt_walk_frame) must produce a
+    DeviceBatch byte-identical to the pure-Python walk, across zstd levels,
+    checksums, the reference corpus, and our own multi-block output."""
+    import dataclasses
+    import glob
+    import os
+
+    import numpy as np
+    import zstandard
+
+    from bench import make_corpus
+    from zstd_tpu.encoding.frame_enc import compress_to_vec
+    from zstd_tpu.models.framer import Framer
+    from zstd_tpu.models.splitter import split_frames
+
+    def build(frames):
+        fr = Framer()
+        for i, z in enumerate(frames):
+            fr.add_frame(bytes(z), i)
+        return fr.build()
+
+    def check(frames, label):
+        bn = build(frames)
+        os.environ["ZT_NO_NATIVE"] = "1"
+        try:
+            bp = build(frames)
+        finally:
+            del os.environ["ZT_NO_NATIVE"]
+        for f in dataclasses.fields(bn):
+            va, vb = getattr(bn, f.name), getattr(bp, f.name)
+            if f.name == "metas":
+                for ma, mb in zip(va, vb):
+                    assert dataclasses.asdict(ma) == dataclasses.asdict(mb), \
+                        (label, ma, mb)
+            elif isinstance(va, np.ndarray):
+                assert va.shape == vb.shape and (va == vb).all(), \
+                    (label, f.name)
+            else:
+                assert va == vb, (label, f.name)
+
+    pay = make_corpus(2)
+    for lvl in (1, 3, 19):
+        comp = zstandard.ZstdCompressor(level=lvl, write_checksum=(lvl != 3))
+        check([comp.compress(p) for p in pay], f"level{lvl}")
+    frames = []
+    for f in sorted(glob.glob(
+            "/root/reference/ruzstd/decodecorpus_files/*.zst")):
+        frames.extend(split_frames(open(f, "rb").read()))
+    if frames:
+        check(frames, "decodecorpus")
+    check([compress_to_vec(b"".join(make_corpus(1, seed=5)))], "own")

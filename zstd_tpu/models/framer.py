@@ -161,6 +161,8 @@ class Framer:
         self.dicts = dicts or {}
         self._dict_tids = {}   # dict_id -> (huff_tid, ll, of, ml tids)
         self._std_tids = {}    # predefined/RLE table tid memo
+        self._walker = None    # native one-call frame walk (lazy)
+        self._walker_failed = False
         self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
         self.seq_lanes = []    # (stream_bytes, pos, n, ll/of/ml tid, frame, dst, lit_total, trail_slot)
         self.huff_tabs = _TableCache(2048)
@@ -199,7 +201,9 @@ class Framer:
         self._cur = self._new_group()
         self._chain_rows = []
         try:
-            self._parse_frame(data, meta)
+            walked = self._walk_native(data, meta)
+            if not walked:
+                self._parse_frame(data, meta)
         except ZstdError as e:
             meta.ok = False
             meta.error = f"{type(e).__name__}: {e}"
@@ -234,6 +238,95 @@ class Framer:
         self.metas.append(meta)
         self._cur = None
         self._chain_rows = []
+
+    def _walk_native(self, data: bytes, meta: FrameMeta) -> bool:
+        """One-call native walk for simple frames (zt_walk_frame): the
+        per-block section parsing, table parsing, and slot bookkeeping run
+        in C; this just registers tables/lanes from the flat descriptor
+        arrays. Returns False when the frame needs the Python walk
+        (dictionaries, would-chain, malformed — Python is the error
+        oracle). Batches are byte-identical to the Python walk
+        (tests/test_native_parity.py::test_walk_matches_python)."""
+        import os as _os
+
+        if _os.environ.get("ZT_NO_NATIVE"):
+            return False
+        if self._walker is None:
+            if self._walker_failed:
+                return False
+            try:
+                from zstd_tpu.runtime import FrameWalker
+
+                self._walker = FrameWalker()
+            except Exception:
+                self._walker_failed = True
+                return False
+        res = self._walker.walk(bytes(data))
+        if res is None:
+            return False
+        fm = res["fm"]
+        mv = memoryview(data)
+        fr = self._cur
+        fcs = int(fm[1])
+        fr["fcs"] = fcs if fcs >= 0 else None
+        fr["lit_cursor"] = int(fm[14])
+        fr["seq_cursor"] = int(fm[15])
+        fr["out_bound"] = int(fm[16])
+        meta.window = int(fm[4])
+        meta.out_len = fcs if fcs >= 0 else -1
+        if fm[2]:
+            meta.checksum = int(fm[3])
+
+        parts = fr["lit_parts"]
+        for dst, kind, src, ln in res["litops"].tolist():
+            parts.append((dst, bytes([src]) * ln if kind
+                          else mv[src:src + ln]))
+        fr["seqs"] = res["syn"].tolist()
+
+        hmap = []
+        hmeta = res["hmeta"]
+        for t in range(int(fm[10])):
+            hmap.append(self.huff_tabs.add(res["hluts"][t].copy()))
+            self.huff_maxbits.append(int(hmeta[t, 0]))
+            self.huff_bnd.append(res["hbnd"][t].copy())
+            self.huff_syms.append(res["hsyms"][t].copy())
+            self.huff_nranks.append(int(hmeta[t, 1]))
+        fidx = len(self.frames)
+        for src, ln, tid, nsym, dst, pos in res["hl"].tolist():
+            self.huff_lanes.append(dict(
+                stream=mv[src:src + ln], pos=pos, tid=hmap[tid],
+                nsym=nsym, frame=fidx, dst=dst))
+
+        # FSE table registration replays in block order, kinds in the
+        # Python walk's ll -> of -> ml order, so tids match exactly
+        logs = res["logs"]
+        nfse = res["nfse"]
+        kt = {"ll": res["lltab"], "of": res["oftab"], "ml": res["mltab"]}
+        caches = {"ll": self.ll_tabs, "of": self.of_tabs, "ml": self.ml_tabs}
+        klogs = {"ll": self.ll_logs, "of": self.of_logs, "ml": self.ml_logs}
+        cur = {"ll": None, "of": None, "ml": None}
+        for row in res["sl"].tolist():
+            (src, ln, n, llm, llv, ofm, ofv, mlm, mlv,
+             dst, lit_total, trail, pos, _pad) = row
+            for kind, mode, val, off in (("ll", llm, llv, 0),
+                                         ("of", ofm, ofv, nfse),
+                                         ("ml", mlm, mlv, 2 * nfse)):
+                if mode == 0:
+                    cur[kind], _ = self._setup_fse(C.MODE_PREDEFINED, b"",
+                                                   cur[kind], kind)
+                elif mode == 1:
+                    cur[kind], _ = self._setup_fse(C.MODE_RLE,
+                                                   bytes([val]), cur[kind],
+                                                   kind)
+                elif mode == 2:
+                    cur[kind] = caches[kind].add(kt[kind][val].copy())
+                    klogs[kind].append(int(logs[off + val]))
+                # mode 3 (repeat): cur[kind] unchanged
+            self.seq_lanes.append(dict(
+                stream=mv[src:src + ln], pos=pos, n=n, ll=cur["ll"],
+                of=cur["of"], ml=cur["ml"], frame=fidx, dst=dst,
+                lit_total=lit_total, trail=trail))
+        return True
 
     def _close_group(self, final: bool = False) -> None:
         """Append the current group as a batch row; open a fresh one unless

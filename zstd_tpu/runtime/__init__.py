@@ -129,6 +129,12 @@ def get_lib():
     lib.zt_compress_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_walk_frame.restype = ctypes.c_int64
+    lib.zt_walk_frame.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
+        + [ctypes.c_void_p, ctypes.c_int64] * 4
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64]
+        + [ctypes.c_void_p] * 4 + [ctypes.c_int64])
     _lib = lib
     return _lib
 
@@ -639,3 +645,72 @@ def fse_enc_build(probs, table_log: int):
     if r < 0:
         return int(r)
     return next_state, dnb, dfs
+
+
+class FrameWalker:
+    """One-call-per-frame native frame walk (models/framer.py fast path).
+
+    Owns reusable descriptor buffers; walk() returns a dict of array views
+    valid until the next call, None when the native path cannot handle the
+    frame (dictionary frames, frames that would chain into block groups,
+    malformed input — the Python walk is the fallback and the error
+    oracle)."""
+
+    def __init__(self):
+        import numpy as np
+
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._np = np
+        self._fm = np.zeros(24, np.int64)
+        self._alloc(1024, 64, 64)
+
+    def _alloc(self, nops: int, nht: int, nfse: int):
+        np = self._np
+        self._nops, self._nht, self._nfse = nops, nht, nfse
+        self._litops = np.empty((nops, 4), np.int32)
+        self._syn = np.empty((nops, 4), np.int32)
+        self._hl = np.empty((4 * nops, 6), np.int32)
+        self._sl = np.empty((nops, 14), np.int32)
+        self._hluts = np.empty((nht, 2048), np.uint16)
+        self._hbnd = np.empty((nht, 16), np.int32)
+        self._hsyms = np.empty((nht, 64), np.int32)
+        self._hmeta = np.empty((nht, 3), np.int32)
+        self._lltab = np.empty((nfse, 512), np.uint32)
+        self._oftab = np.empty((nfse, 256), np.uint32)
+        self._mltab = np.empty((nfse, 512), np.uint32)
+        self._logs = np.empty(3 * nfse, np.int32)
+
+    def walk(self, data: bytes):
+        fm = self._fm
+        while True:
+            r = self._lib.zt_walk_frame(
+                data, len(data), fm.ctypes.data,
+                self._litops.ctypes.data, self._nops,
+                self._syn.ctypes.data, self._nops,
+                self._hl.ctypes.data, 4 * self._nops,
+                self._sl.ctypes.data, self._nops,
+                self._hluts.ctypes.data, self._hbnd.ctypes.data,
+                self._hsyms.ctypes.data, self._hmeta.ctypes.data, self._nht,
+                self._lltab.ctypes.data, self._oftab.ctypes.data,
+                self._mltab.ctypes.data, self._logs.ctypes.data, self._nfse)
+            if r == -101:  # capacity — grow and retry (bounded)
+                if self._nops > len(data) + 1024:
+                    return None
+                self._alloc(4 * self._nops, 4 * self._nht, 4 * self._nfse)
+                continue
+            if r != 0:
+                return None
+            return {
+                "fm": fm,
+                "litops": self._litops[:fm[6]],
+                "syn": self._syn[:fm[7]],
+                "hl": self._hl[:fm[8]],
+                "sl": self._sl[:fm[9]],
+                "hluts": self._hluts, "hbnd": self._hbnd,
+                "hsyms": self._hsyms, "hmeta": self._hmeta,
+                "lltab": self._lltab, "oftab": self._oftab,
+                "mltab": self._mltab, "logs": self._logs,
+                "nfse": self._nfse,
+            }

@@ -2255,4 +2255,354 @@ int64_t zt_compress_frame(const uint8_t* data, int64_t n,
     return o.len;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-frame walk for the device framer (models/framer.py::_parse_frame).
+//
+// Walks one SIMPLE frame (no dictionary id, single block group) in a single
+// call, emitting flat descriptor arrays the Python framer turns into its
+// lane/batch state — the per-block Python byte-fiddling and the per-table
+// ctypes round trips collapse into one call per frame. Anything outside
+// scope returns -100 (caller uses the Python walk: dictionaries, frames
+// that would chain into block groups); any malformed input returns another
+// negative (caller re-parses on the Python path for the typed error), so
+// Python remains the single source of truth for errors.
+//
+// Outputs (capacities supplied; -101 on overflow -> Python walk):
+//   fm[24] (int64):
+//     0 header_size, 1 fcs (-1 none), 2 checksum_flag, 3 checksum_value,
+//     4 window_size, 5 end_pos, 6 n_litops, 7 n_syn, 8 n_hlanes,
+//     9 n_slanes, 10 n_htabs, 11 n_ll, 12 n_of, 13 n_ml, 14 lit_cursor,
+//     15 seq_cursor, 16 out_bound, 17 single_segment
+//   litops: 4 x i32 per op  {dst, kind(0 slice | 1 rle), src_off|byte, len}
+//   syn:    4 x i32 per op  {slot, ll, ml, of}
+//   hl:     6 x i32 per lane {src_off, src_len, local_tid, nsym, dst, pos}
+//   sl:    14 x i32 per lane {src_off, src_len, n, ll_mode, ll_v, of_mode,
+//                             of_v, ml_mode, ml_v, dst, lit_total, trail,
+//                             pos, 0}  (mode 0 pred / 1 rle: v=byte /
+//                             2 fse: v=local tid / 3 repeat)
+//   huffman tables (local tid t): hluts + t*2048, hbnd + t*16,
+//     hsyms + t*64, hmeta + t*3 {max_bits, nranks, consumed}
+//   FSE tables: lltab + i*512, oftab + i*256, mltab + i*512 (u32 rows),
+//     logs in fse_logs: ll at [0..], of at [256..], ml at [512..]
+
+static int64_t stream_pos(const uint8_t* s, int64_t n) {
+    if (n <= 0 || s[n - 1] == 0) return -1;
+    int bl = 32 - __builtin_clz((uint32_t)s[n - 1]);
+    return (n - 1) * 8 + bl - 1;
+}
+
+int64_t zt_walk_frame(const uint8_t* data, int64_t len,
+                      int64_t* fm,
+                      int32_t* litops, int64_t litops_cap,
+                      int32_t* syn, int64_t syn_cap,
+                      int32_t* hl, int64_t hl_cap,
+                      int32_t* sl, int64_t sl_cap,
+                      uint16_t* hluts, int32_t* hbnd, int32_t* hsyms,
+                      int32_t* hmeta, int64_t htab_cap,
+                      uint32_t* lltab, uint32_t* oftab, uint32_t* mltab,
+                      int32_t* fse_logs, int64_t fse_cap) {
+    const int64_t MAX_BLOCK = 128 * 1024;
+    const int64_t GROUP_OUT_CAP = (int64_t)1 << 21;
+    const int64_t GROUP_SEQ_CAP = 24 * 1024;
+    if (len < 4) return -1;
+    uint32_t magic = (uint32_t)rd32(data);
+    if (magic != 0xFD2FB528u) return -1;  // skippable/garbage -> Python
+    if (len < 5) return -1;
+    uint8_t desc = data[4];
+    int fcs_flag = desc >> 6;
+    int single = (desc >> 5) & 1;
+    if (desc & 0x08) return -1;           // reserved bit
+    int checksum = (desc >> 2) & 1;
+    int did_flag = desc & 3;
+    if (did_flag) return -100;            // dictionary frames -> Python
+    int64_t pos = 5;
+    int64_t window = 0;
+    if (!single) {
+        if (len < pos + 1) return -1;
+        uint8_t wd = data[pos++];
+        int64_t wbase = (int64_t)1 << (10 + (wd >> 3));
+        window = wbase + (wbase / 8) * (wd & 7);
+    }
+    static const int fcs_len[4] = {0, 2, 4, 8};
+    int nfcs = single && fcs_flag == 0 ? 1 : fcs_len[fcs_flag];
+    int64_t fcs = -1;
+    if (nfcs) {
+        if (len < pos + nfcs) return -1;
+        fcs = 0;
+        for (int i = 0; i < nfcs; i++) fcs |= (int64_t)data[pos + i] << (8 * i);
+        if (nfcs == 2) fcs += 256;
+        pos += nfcs;
+    }
+    if (single) window = fcs >= 0 ? fcs : 0;
+    if (!single && (window < 1024 || window > ((int64_t)1 << 41) + 7 * ((int64_t)1 << 38)))
+        return -1;
+    fm[0] = pos; fm[1] = fcs; fm[2] = checksum; fm[17] = single;
+    fm[4] = window;
+
+    int64_t n_lit = 0, n_syn = 0, n_hl = 0, n_sl = 0, n_ht = 0;
+    int64_t n_ll = 0, n_of = 0, n_ml = 0;
+    int64_t lit_cursor = 0, seq_cursor = 0, out_bound = 0;
+    int cur_huff = -1;
+    int have_ll = 0, have_of = 0, have_ml = 0;  // repeat-mode needs a prior
+    int64_t cap = window && window < MAX_BLOCK ? window : MAX_BLOCK;
+
+    for (;;) {
+        if (pos + 3 > len) return -2;
+        uint32_t bh = data[pos] | ((uint32_t)data[pos + 1] << 8)
+                    | ((uint32_t)data[pos + 2] << 16);
+        pos += 3;
+        int last = bh & 1;
+        int btype = (bh >> 1) & 3;
+        int64_t bsize = bh >> 3;
+        if (btype == 3) return -2;
+        if (bsize > cap) return -2;
+        if (btype == 1) {  // RLE
+            if (pos + 1 > len) return -2;
+            uint8_t b = data[pos++];
+            if (bsize > 0) {
+                if (n_lit >= litops_cap || n_syn >= syn_cap) return -101;
+                int32_t* L = litops + 4 * n_lit++;
+                L[0] = (int32_t)lit_cursor; L[1] = 1; L[2] = b; L[3] = 1;
+                lit_cursor += 1;
+                int32_t* S = syn + 4 * n_syn++;
+                S[0] = (int32_t)seq_cursor++; S[1] = 1;
+                S[2] = (int32_t)(bsize - 1); S[3] = bsize > 1 ? 1 : 0;
+            }
+            out_bound += bsize;
+        } else if (btype == 0) {  // RAW (always emits, even when empty —
+                                  // the Python walk consumes a slot too)
+            if (pos + bsize > len) return -2;
+            if (n_lit >= litops_cap || n_syn >= syn_cap) return -101;
+            int32_t* L = litops + 4 * n_lit++;
+            L[0] = (int32_t)lit_cursor; L[1] = 0;
+            L[2] = (int32_t)pos; L[3] = (int32_t)bsize;
+            lit_cursor += bsize;
+            int32_t* S = syn + 4 * n_syn++;
+            S[0] = (int32_t)seq_cursor++; S[1] = (int32_t)bsize;
+            S[2] = 0; S[3] = 0;
+            pos += bsize;
+            out_bound += bsize;
+        } else {  // compressed
+            const uint8_t* c = data + pos;
+            int64_t cn = bsize;
+            if (pos + bsize > len) return -2;
+            pos += bsize;
+            // ---- literals section -------------------------------------
+            if (cn < 1) return -3;
+            int lit_type = c[0] & 3;
+            int size_format = (c[0] >> 2) & 3;
+            int64_t p = 0, regen = 0, comp = -1;
+            int nstreams = 1;
+            if (lit_type == 0 || lit_type == 1) {  // RAW / RLE literals
+                if (size_format == 0 || size_format == 2) {
+                    regen = c[0] >> 3; p = 1;
+                } else if (size_format == 1) {
+                    if (cn < 2) return -3;
+                    regen = (c[0] >> 4) | ((int64_t)c[1] << 4); p = 2;
+                } else {
+                    if (cn < 3) return -3;
+                    regen = (c[0] >> 4) | ((int64_t)c[1] << 4)
+                          | ((int64_t)c[2] << 12); p = 3;
+                }
+            } else {
+                int hdr, regen_bits;
+                if (size_format == 0) { nstreams = 1; regen_bits = 10; hdr = 3; }
+                else if (size_format == 1) { nstreams = 4; regen_bits = 10; hdr = 3; }
+                else if (size_format == 2) { nstreams = 4; regen_bits = 14; hdr = 4; }
+                else { nstreams = 4; regen_bits = 18; hdr = 5; }
+                if (cn < hdr) return -3;
+                uint64_t v = 0;
+                for (int i = 0; i < hdr; i++) v |= (uint64_t)c[i] << (8 * i);
+                v >>= 4;
+                uint64_t mask = ((uint64_t)1 << regen_bits) - 1;
+                regen = (int64_t)(v & mask);
+                comp = (int64_t)((v >> regen_bits) & mask);
+                if (comp == 0) return -3;
+                p = hdr;
+            }
+            int64_t lit_start = lit_cursor;
+            if (lit_type == 0) {          // raw literals
+                if (p + regen > cn) return -3;
+                if (regen > 0) {
+                    if (n_lit >= litops_cap) return -101;
+                    int32_t* L = litops + 4 * n_lit++;
+                    L[0] = (int32_t)lit_cursor; L[1] = 0;
+                    L[2] = (int32_t)(pos - bsize + p); L[3] = (int32_t)regen;
+                }
+                lit_cursor += regen;
+                p += regen;
+            } else if (lit_type == 1) {   // rle literals
+                if (p + 1 > cn) return -3;
+                if (regen > 0) {
+                    if (n_lit >= litops_cap) return -101;
+                    int32_t* L = litops + 4 * n_lit++;
+                    L[0] = (int32_t)lit_cursor; L[1] = 1;
+                    L[2] = c[p]; L[3] = (int32_t)regen;
+                }
+                lit_cursor += regen;
+                p += 1;
+            } else {                      // compressed / treeless
+                if (p + comp > cn) return -3;
+                const uint8_t* pay = c + p;
+                int64_t pay_off = (pos - bsize) + p;  // abs offset of payload
+                int64_t q = 0;
+                if (lit_type == 2) {      // new table
+                    if (n_ht >= htab_cap) return -101;
+                    int64_t r = zt_huff_parse(pay, comp,
+                                              hluts + n_ht * 2048,
+                                              hbnd + n_ht * 16,
+                                              hsyms + n_ht * 64,
+                                              hmeta + n_ht * 3);
+                    if (r < 0) return -4;
+                    q = hmeta[n_ht * 3 + 2];
+                    cur_huff = (int)n_ht++;
+                } else if (cur_huff < 0) {
+                    return -4;            // treeless without a table
+                }
+                if (nstreams == 1) {
+                    if (n_hl >= hl_cap) return -101;
+                    int32_t* H = hl + 6 * n_hl++;
+                    H[0] = (int32_t)(pay_off + q);
+                    H[1] = (int32_t)(comp - q);
+                    H[2] = cur_huff; H[3] = (int32_t)regen;
+                    H[4] = (int32_t)lit_start;
+                    H[5] = (int32_t)stream_pos(pay + q, comp - q);
+                } else {
+                    if (comp - q < 6) return -4;
+                    int64_t s1 = pay[q] | ((int64_t)pay[q + 1] << 8);
+                    int64_t s2 = pay[q + 2] | ((int64_t)pay[q + 3] << 8);
+                    int64_t s3 = pay[q + 4] | ((int64_t)pay[q + 5] << 8);
+                    q += 6;
+                    int64_t total = comp - q;
+                    int64_t s4 = total - s1 - s2 - s3;
+                    if (s4 <= 0) return -4;
+                    int64_t r123 = (regen + 3) / 4;
+                    int64_t r4 = regen - 3 * r123;
+                    if (r4 < 0) return -4;
+                    int64_t szs[4] = {s1, s2, s3, s4};
+                    int64_t rs[4] = {r123, r123, r123, r4};
+                    int64_t off = lit_start;
+                    for (int k = 0; k < 4; k++) {
+                        if (n_hl >= hl_cap) return -101;
+                        int32_t* H = hl + 6 * n_hl++;
+                        H[0] = (int32_t)(pay_off + q);
+                        H[1] = (int32_t)szs[k];
+                        H[2] = cur_huff; H[3] = (int32_t)rs[k];
+                        H[4] = (int32_t)off;
+                        H[5] = (int32_t)stream_pos(pay + q, szs[k]);
+                        q += szs[k];
+                        off += rs[k];
+                    }
+                }
+                lit_cursor += regen;
+                p += comp;
+            }
+            int64_t block_lits = lit_cursor - lit_start;
+            // ---- sequences header -------------------------------------
+            if (p >= cn) return -5;
+            int64_t nseq, sp;
+            uint8_t b0 = c[p];
+            if (b0 == 0) { nseq = 0; sp = 1; }
+            else if (b0 < 128) { nseq = b0; sp = 1; }
+            else if (b0 < 255) {
+                if (p + 2 > cn) return -5;
+                nseq = ((int64_t)(b0 - 128) << 8) + c[p + 1]; sp = 2;
+            } else {
+                if (p + 3 > cn) return -5;
+                nseq = c[p + 1] + ((int64_t)c[p + 2] << 8) + 0x7F00; sp = 3;
+            }
+            if (nseq == 0) {
+                p += sp;
+                if (block_lits) {
+                    if (n_syn >= syn_cap) return -101;
+                    int32_t* S = syn + 4 * n_syn++;
+                    S[0] = (int32_t)seq_cursor++;
+                    S[1] = (int32_t)block_lits; S[2] = 0; S[3] = 0;
+                }
+                out_bound += block_lits;
+            } else {
+                if (p + sp + 1 > cn) return -5;
+                int modes = c[p + sp];
+                if (modes & 3) return -5;
+                p += sp + 1;
+                int mode3[3] = {(modes >> 6) & 3, (modes >> 4) & 3,
+                                (modes >> 2) & 3};
+                int32_t mv[3], mm[3];
+                struct { uint32_t* tab; int w; int64_t* n; int* have;
+                         int64_t logoff; int maxlog; } K[3] = {
+                    {lltab, 512, &n_ll, &have_ll, 0, 9},
+                    {oftab, 256, &n_of, &have_of, fse_cap, 8},
+                    {mltab, 512, &n_ml, &have_ml, 2 * fse_cap, 9},
+                };
+                for (int k = 0; k < 3; k++) {
+                    int mode = mode3[k];
+                    mm[k] = mode;
+                    if (mode == 0) {          // predefined
+                        mv[k] = 0;
+                        *K[k].have = 1;
+                    } else if (mode == 1) {   // RLE
+                        if (p + 1 > cn) return -6;
+                        mv[k] = c[p]; p += 1;
+                        *K[k].have = 1;
+                    } else if (mode == 2) {   // FSE-described
+                        if (*K[k].n >= fse_cap) return -101;
+                        int32_t meta2[3];
+                        int64_t r = zt_fse_parse_packed(
+                            c + p, cn - p > 512 ? 512 : cn - p, K[k].maxlog,
+                            K[k].w, K[k].tab + *K[k].n * K[k].w, meta2);
+                        if (r < 0) return -6;
+                        fse_logs[K[k].logoff + *K[k].n] = meta2[0];
+                        mv[k] = (int32_t)(*K[k].n)++;
+                        p += meta2[1];
+                        *K[k].have = 1;
+                    } else {                  // repeat
+                        if (!*K[k].have) return -6;
+                        mv[k] = -1;
+                    }
+                }
+                if (p >= cn) return -6;       // empty bitstream
+                // 128-aligned slot span + trailing-literals slot
+                int64_t dst = (seq_cursor + 127) & ~(int64_t)127;
+                seq_cursor = dst + nseq;
+                int64_t trail = seq_cursor;
+                if (n_syn >= syn_cap) return -101;
+                int32_t* S = syn + 4 * n_syn++;
+                S[0] = (int32_t)trail; S[1] = 0; S[2] = 0; S[3] = 0;
+                seq_cursor += 1;
+                int64_t span_end = dst + ((nseq + 127) & ~(int64_t)127);
+                if (span_end > seq_cursor) seq_cursor = span_end;
+                if (n_sl >= sl_cap) return -101;
+                int32_t* Q = sl + 14 * n_sl++;
+                int64_t bs_off = (pos - bsize) + p;
+                Q[0] = (int32_t)bs_off; Q[1] = (int32_t)(cn - p);
+                Q[2] = (int32_t)nseq;
+                Q[3] = mm[0]; Q[4] = mv[0];
+                Q[5] = mm[1]; Q[6] = mv[1];
+                Q[7] = mm[2]; Q[8] = mv[2];
+                Q[9] = (int32_t)dst; Q[10] = (int32_t)block_lits;
+                Q[11] = (int32_t)trail;
+                Q[12] = (int32_t)stream_pos(c + p, cn - p); Q[13] = 0;
+                out_bound += MAX_BLOCK;
+            }
+        }
+        if (last) break;
+        // would split into a chained block group -> Python walk
+        if (out_bound >= GROUP_OUT_CAP || seq_cursor >= GROUP_SEQ_CAP)
+            return -100;
+    }
+    if (checksum) {
+        if (pos + 4 > len) return -7;
+        fm[3] = (int64_t)(uint32_t)rd32(data + pos);
+        pos += 4;
+    } else {
+        fm[3] = 0;
+    }
+    if (pos != len) return -7;  // trailing bytes after frame
+    fm[5] = pos;
+    fm[6] = n_lit; fm[7] = n_syn; fm[8] = n_hl; fm[9] = n_sl;
+    fm[10] = n_ht; fm[11] = n_ll; fm[12] = n_of; fm[13] = n_ml;
+    fm[14] = lit_cursor; fm[15] = seq_cursor; fm[16] = out_bound;
+    return 0;
+}
+
 }  // extern "C"

@@ -3,7 +3,9 @@
 # Run SOLO (no other TPU process; kill the probe loop first). Steps run
 # sequentially; each logs to $LOG. Gate failures abort the experiment steps.
 #
-#   bash scripts/tpu_session.sh [stage]   # stage: gates|capture|matrix|bench|all
+#   bash scripts/tpu_session.sh [stage]   # stage: gates|bench|capture|matrix|all
+# "all" order: gates -> bench -> capture -> matrix, so a short TPU
+# window still yields validated kernels + a bench datapoint.
 set -u
 cd /root/repo
 LOG=${LOG:-/tmp/tpu_session.log}
@@ -23,6 +25,13 @@ if [[ $stage == gates || $stage == all ]]; then
   run 1800 gate-exec python scripts/validate_pallas_exec.py || exit 1
   run 1800 gate-seq  python scripts/validate_pallas_seq.py  || exit 1
   run 2400 gate-corpus python scripts/corpus_device.py --tpu || exit 1
+fi
+
+if [[ $stage == bench || $stage == all ]]; then
+  run 3600 bench python bench.py 128 none
+  # seq-bucket width past the 2048 cap (kbench trend unsaturated; VMEM
+  # math allows 4096 at typical stream widths)
+  run 3600 bench-seq4096 env ZSTD_TPU_SEQ_BMAX=4096 python bench.py 128 none
 fi
 
 if [[ $stage == capture || $stage == all ]]; then
@@ -54,10 +63,4 @@ if [[ $stage == matrix || $stage == all ]]; then
   fi
 fi
 
-if [[ $stage == bench || $stage == all ]]; then
-  run 3600 bench python bench.py 128 none
-  # seq-bucket width past the 2048 cap (kbench trend unsaturated; VMEM
-  # math allows 4096 at typical stream widths)
-  run 3600 bench-seq4096 env ZSTD_TPU_SEQ_BMAX=4096 python bench.py 128 none
-fi
 say done

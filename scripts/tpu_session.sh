@@ -61,6 +61,8 @@ if [[ $stage == matrix || $stage == all ]]; then
   if run 1800 val-ms env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_SPLIT=1 python scripts/validate_pallas_exec.py; then
     run 1200 replay-ms env ZSTD_TPU_EXEC_MASKED_STORE=1 ZSTD_TPU_EXEC_SPLIT=1 python scripts/kbench_exec.py $CAP
   fi
+  # L=8 was neutral before the slow-dispatch hoist; remeasure
+  run 1200 replay-L8 env ZSTD_TPU_EXEC_L=8 python scripts/kbench_exec.py $CAP
 fi
 
 say done

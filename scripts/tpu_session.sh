@@ -8,6 +8,7 @@
 # window still yields validated kernels + a bench datapoint.
 set -u
 cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 LOG=${LOG:-/tmp/tpu_session.log}
 CAP=/tmp/exec_cap
 stage=${1:-all}

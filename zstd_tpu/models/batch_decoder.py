@@ -88,6 +88,14 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
 PALLAS_VMEM_BUDGET = 80 << 20
 HUFF_LANE_OVERHEAD = 4096 + 4096    # packed (1024,B) table + lit out chunks
 SEQ_LANE_OVERHEAD = 5120 + 12288    # 512+256+512 tables + 3 out chunks x2
+# Entropy-kernel stream-width ceiling for the Pallas path. The sliding-cache
+# refill sweep is a statically unrolled pass over Nw/32 blocks: Mosaic's
+# register allocator charges spill slots per unrolled iteration, measured
+# ~4x the words-array bytes — a 128 KiB-wide bucket demanded 163 MB of the
+# chip's 128 MB VMEM (r2s5 corpus gate). 32 KiB is the widest
+# device-validated bucket (bench 128 MiB, session 2); wider lanes (jumbo
+# single-block frames, ~5/101 corpus files) take the XLA scan on device.
+PALLAS_MAX_STREAM_W = 1 << 15
 
 # lane-count quantization ladder for packed buckets: multiples of 128 with
 # <= 1.34x padding waste, bounded compile-shape set
@@ -121,14 +129,21 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 4096):
     # a width group too small to fill a bucket rides in the next-wider one
     # (its streams pad to that width; per-step kernel cost is flat in B).
     keys = sorted(groups)
+    # width groups past the Pallas ceiling run on the XLA path — they must
+    # not absorb smaller groups (that would drag every pending lane into
+    # the slow/unscalable wide bucket), so coalescing stops at the cap
+    small = [w for w in keys if w <= PALLAS_MAX_STREAM_W]
     merged = {}
     pending = []
-    for k, w in enumerate(keys):
+    for k, w in enumerate(small):
         pending.extend(groups[w])
-        is_last = k == len(keys) - 1
+        is_last = k == len(small) - 1
         if len(pending) >= 512 or is_last:
             merged[w] = pending
             pending = []
+    for w in keys:
+        if w > PALLAS_MAX_STREAM_W:
+            merged[w] = groups[w]
     out = []
     for w, idxs in sorted(merged.items()):
         cap = max(PALLAS_VMEM_BUDGET // (w + overhead), 1)
@@ -559,8 +574,9 @@ class BatchDecoder:
                 d["huff_dst_frame"], d["huff_dst_off"], jnp.asarray(idx),
                 lit_full, frame_ok, width=w, max_symbols=c, table_width=tw,
                 syms_rows=sr,
-                use_pallas=pallas_ok and len(idx) *
-                (w + HUFF_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
+                use_pallas=pallas_ok and w <= PALLAS_MAX_STREAM_W
+                and len(idx) * (w + HUFF_LANE_OVERHEAD)
+                <= PALLAS_VMEM_BUDGET)
           _stage_sync(f"huff {w}x{c} B={len(idx)}", lit_full)
 
         # --- stage 1b: sequence lanes, bucketed --------------------------------
@@ -575,8 +591,9 @@ class BatchDecoder:
                 d["seq_trail_slot"], jnp.asarray(idx),
                 ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c,
                 table_widths=tws,
-                use_pallas=pallas_ok and len(idx) *
-                (w + SEQ_LANE_OVERHEAD) <= PALLAS_VMEM_BUDGET)
+                use_pallas=pallas_ok and w <= PALLAS_MAX_STREAM_W
+                and len(idx) * (w + SEQ_LANE_OVERHEAD)
+                <= PALLAS_VMEM_BUDGET)
           _stage_sync(f"seq {w}x{c} B={len(idx)}", ll_full)
 
         # --- stage 2: offsets + exact lengths ----------------------------------

@@ -148,7 +148,7 @@ def bench_encode(mb: int = 8) -> dict:
         enc.compress_frames(payloads)
         res["encode_device_mbps"] = round(n / (time.time() - t0) / 1e6, 2)
     except Exception as e:
-        res["encode_device_error"] = f"{type(e).__name__}: {e}"
+        res["encode_device_error"] = f"{type(e).__name__}: {e}"[:300]
     return res
 
 
@@ -222,14 +222,16 @@ def main():
         "end_to_end_gbps": round(e2e, 4),
     }
     if scenarios == "all":
+        # error strings are hard-truncated: an XLA RESOURCE_EXHAUSTED dump is
+        # megabytes and a giant JSON line breaks the driver's parse (r2)
         try:
             result.update(bench_longframe())
         except Exception as e:
-            result["longframe_error"] = f"{type(e).__name__}: {e}"
+            result["longframe_error"] = f"{type(e).__name__}: {e}"[:300]
         try:
             result.update(bench_encode())
         except Exception as e:
-            result["encode_error"] = f"{type(e).__name__}: {e}"
+            result["encode_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(result))
 
 

@@ -8,7 +8,11 @@
 # window still yields validated kernels + a bench datapoint.
 set -u
 cd /root/repo
-export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+# always keep the axon site dir, even when the caller exported PYTHONPATH
+case ":${PYTHONPATH:-}:" in
+  *:/root/.axon_site:*) export PYTHONPATH="/root/repo:${PYTHONPATH}" ;;
+  *) export PYTHONPATH="/root/repo:${PYTHONPATH:+$PYTHONPATH:}/root/.axon_site" ;;
+esac
 LOG=${LOG:-/tmp/tpu_session.log}
 CAP=/tmp/exec_cap
 stage=${1:-all}

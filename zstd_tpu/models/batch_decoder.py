@@ -86,6 +86,9 @@ def _buckets(widths, counts, max_area: int, q: int = 2):
 # headroom for XLA's scoped result placement. Per-lane overheads beyond
 # the stream bytes: per-lane tables + double-buffered output chunks.
 PALLAS_VMEM_BUDGET = 80 << 20
+# Mosaic materializes ~4x the words-array bytes for wide entropy streams
+# (observed 128 KiB-width failure, ADVICE r2): charge it when planning
+PALLAS_SPILL_FACTOR = 4
 HUFF_LANE_OVERHEAD = 4096 + 4096    # packed (1024,B) table + lit out chunks
 SEQ_LANE_OVERHEAD = 5120 + 12288    # 512+256+512 tables + 3 out chunks x2
 # Entropy-kernel stream-width ceiling for the Pallas path. The sliding-cache
@@ -141,12 +144,19 @@ def _buckets_pallas(widths, counts, overhead: int, bmax: int = 4096):
         if len(pending) >= 512 or is_last:
             merged[w] = pending
             pending = []
-    for w in keys:
-        if w > PALLAS_MAX_STREAM_W:
-            merged[w] = groups[w]
+    # all width groups past the Pallas ceiling run on the XLA path anyway —
+    # merge them into ONE bucket at the max wide width (each separate width
+    # would cost its own ~30-50 ms launch at >=1 jumbo lane apiece)
+    wide = [w for w in keys if w > PALLAS_MAX_STREAM_W]
+    if wide:
+        merged[max(wide)] = [i for w in wide for i in groups[w]]
     out = []
     for w, idxs in sorted(merged.items()):
-        cap = max(PALLAS_VMEM_BUDGET // (w + overhead), 1)
+        # charge the measured Mosaic spill factor (~4x the words-array
+        # bytes) so wide buckets can't plan past what the chip validated —
+        # typical bench widths (<=4 KiB) still reach B=2048
+        cap = max(PALLAS_VMEM_BUDGET // (PALLAS_SPILL_FACTOR * w + overhead),
+                  1)
         b_max = 128
         while b_max * 2 <= min(cap, bmax):
             b_max *= 2
@@ -505,8 +515,11 @@ class BatchDecoder:
                            for i in lanes), lo=32)
             sr = _pow2(-(-max(int(batch.huff_nranks[batch.huff_tid[i]])
                               for i in lanes) // 4), lo=4, q=1)
+            # >cap widths run the XLA lane path even under Pallas — the
+            # 128-lane pad is a Pallas tile constraint, don't pay it there
+            blo = lo if w <= PALLAS_MAX_STREAM_W else 4
             dev["huff_plan"].append(
-                ((w, c, tw, sr), _pad_idx(lanes, huff_inert, lo)))
+                ((w, c, tw, sr), _pad_idx(lanes, huff_inert, blo)))
         live = [i for i in range(seq_inert) if batch.seq_n[i] > 0]
         dev["seq_plan"] = []
         for (w, c), rows in plan([int(batch.seq_len[i]) for i in live],
@@ -520,8 +533,9 @@ class BatchDecoder:
                 for logs, tid in ((batch.ll_logs, batch.ll_tid),
                                   (batch.of_logs, batch.of_tid),
                                   (batch.ml_logs, batch.ml_tid)))
+            blo = lo if w <= PALLAS_MAX_STREAM_W else 4
             dev["seq_plan"].append(
-                ((w, c, tws), _pad_idx(lanes, seq_inert, lo)))
+                ((w, c, tws), _pad_idx(lanes, seq_inert, blo)))
         return dev
 
     def run_device(self, batch: DeviceBatch, staged: dict | None = None,
@@ -575,7 +589,7 @@ class BatchDecoder:
                 lit_full, frame_ok, width=w, max_symbols=c, table_width=tw,
                 syms_rows=sr,
                 use_pallas=pallas_ok and w <= PALLAS_MAX_STREAM_W
-                and len(idx) * (w + HUFF_LANE_OVERHEAD)
+                and len(idx) * (PALLAS_SPILL_FACTOR * w + HUFF_LANE_OVERHEAD)
                 <= PALLAS_VMEM_BUDGET)
           _stage_sync(f"huff {w}x{c} B={len(idx)}", lit_full)
 
@@ -592,7 +606,7 @@ class BatchDecoder:
                 ll_full, ml_full, of_full, frame_ok, width=w, max_seqs=c,
                 table_widths=tws,
                 use_pallas=pallas_ok and w <= PALLAS_MAX_STREAM_W
-                and len(idx) * (w + SEQ_LANE_OVERHEAD)
+                and len(idx) * (PALLAS_SPILL_FACTOR * w + SEQ_LANE_OVERHEAD)
                 <= PALLAS_VMEM_BUDGET)
           _stage_sync(f"seq {w}x{c} B={len(idx)}", ll_full)
 
@@ -738,12 +752,14 @@ class BatchDecoder:
                     lw = min(_pow2(max(max(int(lit_len_h[r])
                                            for r in live_k), 4), lo=4),
                              lit_full.shape[1] * 4)
-                    # lanes per grid step under the VMEM budget (the kernel
-                    # holds window + group + literals per lane)
-                    per_lane = (W + gw + lw) * 4 + (1 << 16)
+                    # lanes per grid step under the scoped-VMEM budget: the
+                    # kernel holds the (window+group) block TWICE (aliased
+                    # input + output, i32) plus the literal block per lane —
+                    # mirrors execute_window_pallas's own clamp
+                    per_lane = (2 * (W + gw) + lw) * 4 + (1 << 16)
                     li = 1
-                    while (li < 4 and li < L
-                           and (li * 2) * per_lane <= (60 << 20)):
+                    while (li < 4 and li * 2 <= L
+                           and (li * 2) * per_lane <= (88 << 20)):
                         li *= 2
                     acc, written, ok_r = _chain_group_step(
                         ll_full, ml_full, offsets, lit_full, out_len,

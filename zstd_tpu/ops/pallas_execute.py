@@ -658,6 +658,17 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     assert window % 128 == 0
     L0, S = ll.shape
     Li = max(1, lanes_per_step)
+    # Clamp Li to what the scoped-VMEM budget actually fits: the window
+    # block is materialized TWICE (aliased input + output — HBM aliasing
+    # does not merge the VMEM copies) in i32, plus the literal block. The
+    # r2 driver bench OOMed here (Li=2, 4 MiB window -> 2x64 MB scoped
+    # allocs vs the 100 MB limit) because the caller budgeted raw bytes.
+    _PADr = _FR * 128
+    _orows = _FR + window // 128 + (out_width + 127) // 128 + _K + 2
+    _lrows = _FR + (literals.shape[1] + 127) // 128 + _K + 2
+    per_lane_vmem = (2 * _orows + _lrows) * 128 * 4
+    while Li > 1 and Li * per_lane_vmem > (88 << 20):
+        Li //= 2
     if L0 % Li:
         pad = Li - L0 % Li
         ll = jnp.pad(ll, ((0, pad), (0, 0)))
@@ -716,8 +727,12 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
 
     smem_rec = pl.BlockSpec((Li, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
                             memory_space=pltpu.SMEM)
+    # big blocks are single-buffered: their index map changes only once per
+    # lane-group (grid dim l), so double-buffering would cost 2x VMEM on the
+    # window for no overlap (interpret mode: pipeline_mode unsupported)
+    one_buf = None if interpret else pl.Buffered(buffer_count=1)
     out_spec = pl.BlockSpec((Li, out_rows, 128), lambda l, c: (l, 0, 0),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.VMEM, pipeline_mode=one_buf)
 
     def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
         # init_r is the aliased window prefix — the kernel reads/writes it
@@ -733,7 +748,7 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
             pl.BlockSpec((Li, 1, 1), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=one_buf),
             out_spec,
         ],
         out_specs=out_spec,

@@ -10,6 +10,8 @@ no fallbacks), 0 failures; dict corpus 207/207 on-device (see test_device_dict).
 
 import glob
 import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 
 

@@ -1,4 +1,8 @@
 """Focused single-sequence cases for the Pallas executor."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 import jax.numpy as jnp
 

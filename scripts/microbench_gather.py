@@ -14,6 +14,8 @@ Run: python scripts/microbench_gather.py [probe ...]
 """
 
 import sys
+
+sys.path.insert(0, "/root/repo")
 import time
 import functools
 

@@ -5,6 +5,10 @@ Builds random sequence lists covering every copy regime (off<128 incl 1,
 executes with both backends, and byte-compares.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 import time
 
 import numpy as np

@@ -32,7 +32,9 @@ from zstd_tpu.ops.huffman import decode_huffman_lanes
 from zstd_tpu.ops.pallas_execute import MAX_SMEM_SEQS, execute_sequences_pallas
 from zstd_tpu.ops.pallas_huffman import decode_huffman_lanes_pallas
 from zstd_tpu.ops.pallas_sequence import decode_sequence_lanes_pallas
-from zstd_tpu.ops.pallas_execute import execute_window_pallas
+from zstd_tpu.ops.pallas_execute import (LOCKSTEP_BLOCK_CAP,
+                                         execute_window_pallas,
+                                         window_out_rows)
 from zstd_tpu.ops.sequence import (apply_hist, decode_sequence_lanes,
                                    resolve_offsets,
                                    resolve_offsets_symbolic)
@@ -725,51 +727,77 @@ class BatchDecoder:
                 continue
             chain_live.append(m)
         # Independent chains advance in LOCKSTEP (bucketed by window size):
-        # step k executes group k of every live chain in ONE multi-lane
-        # kernel call — cross-lane ILP and per-call overhead amortization,
-        # where the old per-frame loop serialized whole chains.
+        # step k executes group k of every chain in the lane group in ONE
+        # multi-lane kernel call — cross-lane ILP and per-call overhead
+        # amortization, where the old per-frame loop serialized chains.
+        #
+        # DEVICE CONSTRAINT (measured, r3): every lockstep call must keep
+        # the pallas grid's lane-group dim at 1 (all lanes ride inside one
+        # block, grid = (1, n_chunks)). Advancing the lane-group grid dim
+        # with the aliased single-buffered window block corrupts output on
+        # Mosaic (block write-back/refetch at the transition loses stores —
+        # 2x3 MiB repro lost everything past ~350 KiB). So chains split
+        # into lane groups of `li` HERE, one execute_window_pallas call
+        # per group, instead of passing all lanes to one call.
         by_w = {}
         for m in chain_live:
             by_w.setdefault(_pow2(max(int(m.window), 1024), lo=1024),
                             []).append(m)
-        for W, metas in sorted(by_w.items()):
-            L = len(metas)
-            max_len = max(len(m.rows) for m in metas)
-            gw_max = _pow2(max(int(bound_h[r])
-                               for m in metas for r in m.rows))
-            accw = (W + gw_max
-                    + max(_pow2(sum(int(bound_h[r]) for r in m.rows))
-                          for m in metas))
-            acc = jnp.zeros((L, accw), jnp.uint8)
-            written = jnp.full((L,), W, jnp.int32)
-            okv = jnp.ones((L,), bool)
-            with scope(f"lz77_chain_{L}x{max_len}x{W}"):
-                for k in range(max_len):
-                    rows_k = [m.rows[k] if k < len(m.rows) else frame_inert
-                              for m in metas]
-                    live_k = [r for r in rows_k if r != frame_inert]
-                    gw = _pow2(max(int(bound_h[r]) for r in live_k))
-                    lw = min(_pow2(max(max(int(lit_len_h[r])
-                                           for r in live_k), 4), lo=4),
-                             lit_full.shape[1] * 4)
-                    # lanes per grid step under the scoped-VMEM budget: the
-                    # kernel holds the (window+group) block TWICE (aliased
-                    # input + output, i32) plus the literal block per lane —
-                    # mirrors execute_window_pallas's own clamp
-                    per_lane = (2 * (W + gw) + lw) * 4 + (1 << 16)
-                    li = 1
-                    while (li < 4 and li * 2 <= L
-                           and (li * 2) * per_lane <= (88 << 20)):
-                        li *= 2
-                    acc, written, ok_r = _chain_group_step(
-                        ll_full, ml_full, offsets, lit_full, out_len,
-                        acc, written, jnp.asarray(rows_k, jnp.int32),
-                        gw=gw, lw=lw, W=W, lanes_per_step=li,
-                        interpret=not pallas_ok)
-                    okv = okv & ok_r
-            for i, m in enumerate(metas):
-                chain_pend.append((m, m.rows, (acc, i), W,
-                                   written[i], okv[i]))
+        for W, bucket in sorted(by_w.items()):
+            # lane-group width under the scoped-VMEM budget at the bucket's
+            # WORST-case step shapes: the kernel holds the (window+group)
+            # block twice (aliased input + output, i32) plus the literal
+            # block per lane — mirrors execute_window_pallas's own clamp
+            gw_all = _pow2(max(int(bound_h[r])
+                               for m in bucket for r in m.rows))
+            lw_all = min(_pow2(max(max(int(lit_len_h[r])
+                                       for m in bucket for r in m.rows), 4),
+                               lo=4), lit_full.shape[1] * 4)
+            per_lane = (2 * (W + gw_all) + lw_all) * 4 + (1 << 16)
+            # DEVICE CONSTRAINT (probed, r3): multi-lane windowed blocks
+            # corrupt output beyond ~18 MB total out-block even though the
+            # scoped-VMEM budget allows far more (2x3 MiB @ W=2 MiB lost
+            # every store past ~350 KiB at a bit-exact-at-Li=1 shape; Li=2
+            # at a 17.8 MB block is bit-exact). Mirror the clamp in
+            # execute_window_pallas.
+            blk_lane = window_out_rows(W, gw_all) * 512
+            li = 1
+            while (li < 4 and li * 2 <= len(bucket)
+                   and (li * 2) * per_lane <= (88 << 20)
+                   and (li * 2) * blk_lane <= LOCKSTEP_BLOCK_CAP):
+                li *= 2
+            if os.environ.get("ZSTD_TPU_CHAIN_LI"):
+                li = int(os.environ["ZSTD_TPU_CHAIN_LI"])
+            for s in range(0, len(bucket), li):
+                metas = bucket[s:s + li]
+                L = len(metas)
+                max_len = max(len(m.rows) for m in metas)
+                gw_max = _pow2(max(int(bound_h[r])
+                                   for m in metas for r in m.rows))
+                accw = (W + gw_max
+                        + max(_pow2(sum(int(bound_h[r]) for r in m.rows))
+                              for m in metas))
+                acc = jnp.zeros((L, accw), jnp.uint8)
+                written = jnp.full((L,), W, jnp.int32)
+                okv = jnp.ones((L,), bool)
+                with scope(f"lz77_chain_{L}x{max_len}x{W}"):
+                    for k in range(max_len):
+                        rows_k = [m.rows[k] if k < len(m.rows)
+                                  else frame_inert for m in metas]
+                        live_k = [r for r in rows_k if r != frame_inert]
+                        gw = _pow2(max(int(bound_h[r]) for r in live_k))
+                        lw = min(_pow2(max(max(int(lit_len_h[r])
+                                               for r in live_k), 4), lo=4),
+                                 lit_full.shape[1] * 4)
+                        acc, written, ok_r = _chain_group_step(
+                            ll_full, ml_full, offsets, lit_full, out_len,
+                            acc, written, jnp.asarray(rows_k, jnp.int32),
+                            gw=gw, lw=lw, W=W, lanes_per_step=L,
+                            interpret=not pallas_ok)
+                        okv = okv & ok_r
+                for i, m in enumerate(metas):
+                    chain_pend.append((m, m.rows, (acc, i), W,
+                                       written[i], okv[i]))
 
         # single host sync for the whole pipeline
         chain_scalars = [jnp.stack([w_.astype(jnp.int32),

@@ -78,8 +78,26 @@ def _st(ref, lane, rd, rows: int, val, mask):
 # beyond it take the host/XLA fallback.
 MAX_SMEM_SEQS = 131072
 
+# DEVICE CONSTRAINT (probed, r3): multi-lane lockstep windowed blocks
+# corrupt output beyond ~18 MB total out-block even though scoped VMEM
+# allows far more — Li=2 at a 17.8 MB block is bit-exact, Li=2 at 25.2 MB
+# loses every store past a fixed offset (while the same shapes at Li=1 are
+# exact, and Li=1 is validated to 16.8 MB/lane). Both the bucket planner
+# (models/batch_decoder.py) and execute_window_pallas clamp lanes_per_step
+# so Li * out_block_bytes stays under this.
+LOCKSTEP_BLOCK_CAP = 18 << 20
+
+
+def window_out_rows(window: int, out_width: int) -> int:
+    """Sublane rows of the windowed exec kernel's out block (per lane)."""
+    return _FR + window // 128 + (out_width + 127) // 128 + _K + 2
+
 # dev-only ablation switch (see pallas_sequence.py): "fused" | "slow" |
-# "body" skips that part of the per-sequence work
+# "body" skips that part of the per-sequence work; "sink" redirects the
+# fused store to a scratch ref and "litload" sources the match window from
+# lit_ref — both break the store(out_ref)->load(out_ref) ordering pair to
+# attribute how much of the per-sequence cost is memory-hazard stalls
+# (timing-only: results are wrong under either)
 _ABLATE = os.environ.get("ZSTD_TPU_EXEC_ABLATE", "")
 # EXPERIMENT (opt-in, ZSTD_TPU_EXEC_PRE=1): scalar offload — XLA
 # precomputes the per-record address math (store row, window rows/shifts,
@@ -95,6 +113,10 @@ _PRE = os.environ.get("ZSTD_TPU_EXEC_PRE", "") == "1"
 # price of a per-record scalar branch and a second (2,128) store when
 # literals ARE present. Net is modeled ~1.15x; measure on device.
 _SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
+# EXPERIMENT (opt-in, ZSTD_TPU_EXEC_PHASED=1): issue all L lanes' window
+# loads before any lane's store each iteration (see _fused_loads) — breaks
+# L-1 of the L per-iteration store->load ordering stalls on out_ref.
+_PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 _L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
 # fused-path store window rows (span <= 128*(_FR-1) incl. the alignment
@@ -217,8 +239,56 @@ def _window(ref, lane, row, sh, rows: int, max_rows: int):
     return pltpu.roll(blk, sh, axis=1)
 
 
+def _fused_loads(lit_ref, out_ref, lane, lp, op, off,
+                 lit_rows: int, out_rows: int):
+    """Load phase of the fused copy: just the two (_FR+1,128) window
+    fetches, no rolls/selects/stores. The phased kernel issues ALL lanes'
+    loads before ANY lane's store each iteration: loads and stores on
+    out_ref are the ordering hazard that costs ~45 ns per store->load
+    boundary (measured via the sink/litload ablations — 164 -> 77 ms on
+    the 32 MiB replay), and lanes write disjoint rows, so hoisting the
+    loads across the other lanes' stores is correct by construction and
+    cuts the boundaries per iteration from L to 1."""
+    rd = op >> 7
+    dl = lp - op
+    lblk = lit_ref[lane, pl.ds(jnp.clip(rd + (dl >> 7), 0,
+                                        lit_rows - _FR - 2), _FR + 1), :]
+    mref, mrows = ((lit_ref, lit_rows) if _ABLATE == "litload"
+                   else (out_ref, out_rows))
+    mblk = mref[lane, pl.ds(jnp.clip(rd + ((-off) >> 7), 0,
+                                     mrows - _FR - 2), _FR + 1), :]
+    return lblk, mblk
+
+
+def _fused_finish(out_ref, lane, lblk, mblk, lp, op, ll, ml, off, ok,
+                  consts4, sink_ref=None):
+    """Compute + store phase of the fused copy (see _fused_loads)."""
+    jj5, rr, d4 = consts4
+    jj = jj5[:_FR]
+    rd = op >> 7
+    opa = op & 127
+    opma = opa + ll
+    enda = jnp.where(ok, opma + ml, opa)
+
+    ml_ = (lp - op) & 127
+    lrot = lblk if _ABLATE == "roll" else pltpu.roll(lblk, (128 - ml_) & 127,
+                                                     axis=1)
+    lval = jnp.where(jj < 128 - ml_, lrot[0:_FR], lrot[1:_FR + 1])
+    mm = (-off) & 127
+    mrot = mblk if _ABLATE == "roll" else pltpu.roll(mblk, (128 - mm) & 127,
+                                                     axis=1)
+    mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
+
+    val = jnp.where(d4 < opma, lval, mval)
+    mask = (d4 >= opa) & (d4 < enda)
+    if _ABLATE == "sink" and sink_ref is not None:
+        _st(sink_ref, lane, rd & 7, _FR, val, mask)
+    else:
+        _st(out_ref, lane, rd, _FR, val, mask)
+
+
 def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
-                 lit_rows: int, out_rows: int, consts4):
+                 lit_rows: int, out_rows: int, consts4, sink_ref=None):
     """Branchless fused literal+match copy for one sequence, masked by `ok`.
 
     Covers spans (op&127) + ll + ml <= 128*(_FR-1) with match source fully
@@ -249,13 +319,18 @@ def _fused_short(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
 
     # match source window (src = d - off for d >= opm), anchored at rd
     mm = (-off) & 127
-    mrot = _window(out_ref, lane, rd + ((-off) >> 7), (128 - mm) & 127, _FR,
-                   out_rows)
+    mref, mrows = ((lit_ref, lit_rows) if _ABLATE == "litload"
+                   else (out_ref, out_rows))
+    mrot = _window(mref, lane, rd + ((-off) >> 7), (128 - mm) & 127, _FR,
+                   mrows)
     mval = jnp.where(jj < 128 - mm, mrot[0:_FR], mrot[1:_FR + 1])
 
     val = jnp.where(d4 < opma, lval, mval)
     mask = (d4 >= opa) & (d4 < enda)
-    _st(out_ref, lane, rd, _FR, val, mask)
+    if _ABLATE == "sink" and sink_ref is not None:
+        _st(sink_ref, lane, rd & 7, _FR, val, mask)
+    else:
+        _st(out_ref, lane, rd, _FR, val, mask)
 
 
 def _fused_split(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
@@ -462,7 +537,8 @@ def _pre_words(ll, ml, offset, opv, lpv, common, slow,
 
 
 def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
-                 out_ref, lit_rows: int, out_rows: int, L: int = _L):
+                 out_ref, *scratch, lit_rows: int, out_rows: int, L: int = _L):
+    sink_ref = scratch[0] if scratch else None
     c = pl.program_id(1)
     base = c * SEQ_CHUNK
     counts = [jnp.clip(ns_ref[j, 0, 0] - base, 0, SEQ_CHUNK)
@@ -497,10 +573,24 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         # branchless fused path for all four lanes first (their chains are
         # independent — interleaved issue hides each other's load latency)
         if _ABLATE != "fused":
-            fused = _fused_split if _SPLIT else _fused_short
-            for j, op, lp, ll, ml, off, active, common in recs:
-                fused(lit_ref, out_ref, j, lp, op, ll, ml, off,
-                      common, lit_rows, out_rows, consts4)
+            if _PHASED and not _SPLIT:
+                blks = [_fused_loads(lit_ref, out_ref, j, lp, op, off,
+                                     lit_rows, out_rows)
+                        for j, op, lp, ll, ml, off, active, common in recs]
+                for (j, op, lp, ll, ml, off, active, common), (lb, mb) \
+                        in zip(recs, blks):
+                    _fused_finish(out_ref, j, lb, mb, lp, op, ll, ml, off,
+                                  common, consts4, sink_ref=sink_ref)
+            else:
+                for j, op, lp, ll, ml, off, active, common in recs:
+                    if _SPLIT:
+                        _fused_split(lit_ref, out_ref, j, lp, op, ll, ml,
+                                     off, common, lit_rows, out_rows,
+                                     consts4)
+                    else:
+                        _fused_short(lit_ref, out_ref, j, lp, op, ll, ml,
+                                     off, common, lit_rows, out_rows,
+                                     consts4, sink_ref=sink_ref)
 
         if _ABLATE != "slow":
             # slow records are ~0.2% of the corpus (seq_stats.py) — hoist
@@ -618,6 +708,10 @@ def execute_sequences_pallas(ll, ml, offset, literals, out_len,
         out_specs=pl.BlockSpec((_L, out_rows, 128), lambda l, c: (l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
+        # dev-only "sink" probe: fused stores land in this scratch block so
+        # no load in the loop ever follows a store to the same ref
+        scratch_shapes=([pltpu.VMEM((_L, 8 + _FR, 128), jnp.int32)]
+                        if _ABLATE == "sink" and not _PRE else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,
@@ -664,10 +758,13 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     # r2 driver bench OOMed here (Li=2, 4 MiB window -> 2x64 MB scoped
     # allocs vs the 100 MB limit) because the caller budgeted raw bytes.
     _PADr = _FR * 128
-    _orows = _FR + window // 128 + (out_width + 127) // 128 + _K + 2
+    _orows = window_out_rows(window, out_width)
     _lrows = _FR + (literals.shape[1] + 127) // 128 + _K + 2
     per_lane_vmem = (2 * _orows + _lrows) * 128 * 4
-    while Li > 1 and Li * per_lane_vmem > (88 << 20):
+    # scoped-VMEM budget AND the probed multi-lane block-size corruption
+    # bound (see LOCKSTEP_BLOCK_CAP)
+    while Li > 1 and (Li * per_lane_vmem > (88 << 20)
+                      or Li * _orows * 512 > LOCKSTEP_BLOCK_CAP):
         Li //= 2
     if L0 % Li:
         pad = Li - L0 % Li
@@ -725,13 +822,13 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     init = jnp.pad(win, ((0, 0), (PAD, out_rows * 128 - window - PAD))
                    ).astype(jnp.int32).reshape(L, out_rows, 128)
 
-    smem_rec = pl.BlockSpec((Li, 1, SEQ_CHUNK), lambda l, c: (l, 0, c),
+    smem_rec = pl.BlockSpec((Li, 1, SEQ_CHUNK), lambda l, c: (0, 0, c),
                             memory_space=pltpu.SMEM)
-    # big blocks are single-buffered: their index map changes only once per
-    # lane-group (grid dim l), so double-buffering would cost 2x VMEM on the
-    # window for no overlap (interpret mode: pipeline_mode unsupported)
+    # big blocks are single-buffered: their index map never changes inside
+    # a call, so double-buffering would cost 2x VMEM on the window for no
+    # overlap (interpret mode: pipeline_mode unsupported)
     one_buf = None if interpret else pl.Buffered(buffer_count=1)
-    out_spec = pl.BlockSpec((Li, out_rows, 128), lambda l, c: (l, 0, 0),
+    out_spec = pl.BlockSpec((Li, out_rows, 128), lambda l, c: (0, 0, 0),
                             memory_space=pltpu.VMEM, pipeline_mode=one_buf)
 
     def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
@@ -740,25 +837,35 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
                      lit_rows=lit_rows, out_rows=out_rows, L=Li)
 
-    out_i32 = pl.pallas_call(
-        kernel,
-        grid=(L // Li, n_chunks),
-        in_specs=[
-            smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
-            pl.BlockSpec((Li, 1, 1), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (l, 0, 0),
-                         memory_space=pltpu.VMEM, pipeline_mode=one_buf),
-            out_spec,
-        ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((L, out_rows, 128), jnp.int32),
-        input_output_aliases={7: 0},
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 << 20),
-        interpret=interpret,
-    )(rec3(ll), rec3(ml), rec3(offset), rec3(opv), rec3(lpv),
-      nseq[:, None, None], lit_i32, init)
+    # DEVICE CONSTRAINT (measured, r3): the grid must not advance across
+    # lane groups within one pallas_call — the aliased single-buffered
+    # window block loses stores at the block transition on Mosaic (multi
+    # -frame lockstep corrupted everything past ~350 KiB while the
+    # grid=(1, n_chunks) shape is bit-exact). One call per Li-lane group,
+    # all lanes inside the single block, grid (1, n_chunks) per call.
+    parts = []
+    for g in range(0, L, Li):
+        sl = slice(g, g + Li)
+        parts.append(pl.pallas_call(
+            kernel,
+            grid=(1, n_chunks),
+            in_specs=[
+                smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
+                pl.BlockSpec((Li, 1, 1), lambda l, c: (0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (0, 0, 0),
+                             memory_space=pltpu.VMEM, pipeline_mode=one_buf),
+                out_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Li, out_rows, 128), jnp.int32),
+            input_output_aliases={7: 0},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20),
+            interpret=interpret,
+        )(rec3(ll[sl]), rec3(ml[sl]), rec3(offset[sl]), rec3(opv[sl]),
+          rec3(lpv[sl]), nseq[sl, None, None], lit_i32[sl], init[sl]))
+    out_i32 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     flat = out_i32.reshape(L, out_rows * 128)[:, base:base + out_width]
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]

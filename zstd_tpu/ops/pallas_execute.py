@@ -113,10 +113,13 @@ _PRE = os.environ.get("ZSTD_TPU_EXEC_PRE", "") == "1"
 # price of a per-record scalar branch and a second (2,128) store when
 # literals ARE present. Net is modeled ~1.15x; measure on device.
 _SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
-# EXPERIMENT (opt-in, ZSTD_TPU_EXEC_PHASED=1): issue all L lanes' window
+# DEFAULT ON (ZSTD_TPU_EXEC_PHASED=0 reverts): issue all L lanes' window
 # loads before any lane's store each iteration (see _fused_loads) — breaks
 # L-1 of the L per-iteration store->load ordering stalls on out_ref.
-_PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "") == "1"
+# Measured r3: 32 MiB exec replay 164 -> 76 ms (86 -> 40 ns/seq), matching
+# the sink/litload hazard-ablation floor; device-validated bit-exact
+# (validate_pallas_exec, corpus_device 101/101, validate_window_exec).
+_PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "1") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 _L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
 # fused-path store window rows (span <= 128*(_FR-1) incl. the alignment

@@ -53,7 +53,7 @@ def replay(cap_dir: str):
     knobs = {k: os.environ.get(k, "") for k in
              ("ZSTD_TPU_EXEC_MASKED_STORE", "ZSTD_TPU_EXEC_ABLATE",
               "ZSTD_TPU_EXEC_L", "ZSTD_TPU_EXEC_FR", "ZSTD_TPU_EXEC_PRE",
-              "ZSTD_TPU_EXEC_SPLIT")}
+              "ZSTD_TPU_EXEC_SPLIT", "ZSTD_TPU_EXEC_PHASED")}
     print("knobs:", {k: v for k, v in knobs.items() if v})
     total_dt = total_b = total_seq = 0.0
     for f in files:

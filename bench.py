@@ -206,6 +206,20 @@ def main():
         dec.run_device(batch, staged, pull_outputs=False)
     t_device = (time.time() - t0) / runs
 
+    # pipelined serving loop (decode_frames_pipelined): host framing of
+    # batch k+1 overlaps device compute of batch k. Batches reuse the
+    # staged upload (persistent-arena serving; the dev tunnel's ~8 MB/s
+    # staging cost is reported separately as h2d_upload_s) and outputs stay
+    # device-resident. Steady state should approach the device-only rate,
+    # proving prepare is hidden.
+    p_rounds = 3
+    t0 = time.time()
+    for _ in dec.decode_frames_pipelined([frames] * p_rounds,
+                                         pull_outputs=False,
+                                         prestaged=staged):
+        pass
+    t_pipe = (time.time() - t0) / p_rounds
+
     gbps = n_bytes / t_device / 1e9
     e2e = n_bytes / (t_device + t_prepare) / 1e9
     result = {
@@ -220,6 +234,7 @@ def main():
         "host_prepare_s": round(t_prepare, 3),
         "h2d_upload_s": round(t_upload, 3),
         "end_to_end_gbps": round(e2e, 4),
+        "pipelined_gbps": round(n_bytes / t_pipe / 1e9, 4),
     }
     if scenarios == "all":
         # error strings are hard-truncated: an XLA RESOURCE_EXHAUSTED dump is

@@ -712,6 +712,42 @@ class BatchDecoder:
             _stage_sync(f"exec {w} B={len(idx)} pl={use_pl}", out_b)
             pending.append((rows, out_b))
 
+        # --- stage 3a': device-side checksum verification (serving mode) -------
+        # pull_outputs=False consumers never reach _postprocess's host-side
+        # xxh64, so the frame checksum is verified ON DEVICE here and folded
+        # into ok (reference hashes on every drain, decode_buffer.rs:241-314).
+        # Chained frames' accumulators are hashed host-side at drain instead
+        # (their per-lane streams are too long for the lane-parallel scan).
+        if self.verify_checksums and not pull_outputs:
+            from zstd_tpu.ops.xxhash64 import xxh64_low32_lanes
+
+            ckmap = {m.rows[0]: (m.checksum, m.dict_skip)
+                     for m in batch.metas
+                     if len(m.rows) == 1 and m.checksum is not None
+                     and m.ok and not m.fallback}
+            for rows, out_b in pending:
+                sel = [(ri, ckmap[lane][0], ckmap[lane][1], lane)
+                       for ri, lane in enumerate(rows) if lane in ckmap]
+                if not sel:
+                    continue
+                ridx = jnp.asarray([s[0] for s in sel], jnp.int32)
+                glanes = jnp.asarray([s[3] for s in sel], jnp.int32)
+                skips = np.asarray([s[2] for s in sel], np.int32)
+                exp = jnp.asarray([s[1] for s in sel], jnp.uint32)
+                sub = jnp.take(out_b, ridx, axis=0)
+                wname = out_b.shape[1]
+                if skips.any():
+                    cols = jnp.minimum(
+                        jnp.asarray(skips)[:, None]
+                        + jnp.arange(wname, dtype=jnp.int32)[None, :],
+                        wname - 1)
+                    sub = jnp.take_along_axis(sub, cols, axis=1)
+                lens = jnp.take(out_len, glanes) - jnp.asarray(skips)
+                with scope("device_checksum"):
+                    got = xxh64_low32_lanes(sub, jnp.maximum(lens, 0))
+                ok_dev = ok_dev.at[glanes].min(got == exp)
+                _stage_sync(f"checksum B={len(sel)}", ok_dev)
+
         # --- stage 3b: chained frames — windowed group execution ---------------
         # Groups execute in order carrying the last `W` output bytes as the
         # kernel's aliased window prefix (decode_buffer.rs:182-218 analog).
@@ -761,13 +797,28 @@ class BatchDecoder:
             # at a 17.8 MB block is bit-exact). Mirror the clamp in
             # execute_window_pallas.
             blk_lane = window_out_rows(W, gw_all) * 512
+            if blk_lane > LOCKSTEP_BLOCK_CAP:
+                # even a single lane exceeds the probed-safe bound — the
+                # corruption mode is SILENT (ok flags stay true), so route
+                # the whole bucket to the host fallback rather than run the
+                # windowed kernel unguarded (ADVICE r3, medium)
+                for m in bucket:
+                    chain_pend.append((m, m.rows, None, 0, None, None))
+                continue
             li = 1
             while (li < 4 and li * 2 <= len(bucket)
                    and (li * 2) * per_lane <= (88 << 20)
                    and (li * 2) * blk_lane <= LOCKSTEP_BLOCK_CAP):
                 li *= 2
             if os.environ.get("ZSTD_TPU_CHAIN_LI"):
-                li = int(os.environ["ZSTD_TPU_CHAIN_LI"])
+                # dev override — still clamped to the probed corruption
+                # bound: violating it silently produces wrong bytes with
+                # ok=true (ADVICE r3)
+                li_req = int(os.environ["ZSTD_TPU_CHAIN_LI"])
+                li = max(1, min(li_req, LOCKSTEP_BLOCK_CAP // blk_lane))
+                if li != li_req:
+                    print(f"ZSTD_TPU_CHAIN_LI={li_req} clamped to {li} "
+                          f"(LOCKSTEP_BLOCK_CAP)", flush=True)
             for s in range(0, len(bucket), li):
                 metas = bucket[s:s + li]
                 L = len(metas)
@@ -863,24 +914,35 @@ class BatchDecoder:
         outputs, out_len, ok = self.run_device(batch)
         return self._postprocess(frames, batch, outputs, out_len, ok)
 
-    def decode_frames_pipelined(self, frame_batches):
+    def decode_frames_pipelined(self, frame_batches, pull_outputs=True,
+                                prestaged=None):
         """Generator over decoded-bytes lists, one per input batch — the
         serving loop. Host framing of batch k+1 overlaps the device
         crunching batch k (run_device dispatches async; the sync happens
         one batch late), so steady-state wall time is
-        ~max(host_prepare, device) per batch instead of their sum."""
+        ~max(host_prepare, device) per batch instead of their sum.
+
+        pull_outputs=False is the throughput/serving mode: yields raw
+        (outputs, out_len, ok) triples with device-resident handles
+        instead of postprocessed bytes (see run_device). `prestaged` reuses
+        an existing staged-arrays dict for every batch (persistent-arena
+        serving: all batches must share the staged batch's shape/content
+        source, e.g. rotating replays of one upload)."""
         prev = None
         for frames in frame_batches:
             batch = self.prepare(frames)
-            staged = self.stage(batch)
-            st = self.run_device(batch, staged, sync=False)
+            staged = prestaged if prestaged is not None else self.stage(batch)
+            st = self.run_device(batch, staged, pull_outputs=pull_outputs,
+                                 sync=False)
             if prev is not None:
                 pf, pb, pst = prev
-                yield self._postprocess(pf, pb, *self._finalize(pst))
+                fin = self._finalize(pst, pull_outputs=pull_outputs)
+                yield self._postprocess(pf, pb, *fin) if pull_outputs else fin
             prev = (frames, batch, st)
         if prev is not None:
             pf, pb, pst = prev
-            yield self._postprocess(pf, pb, *self._finalize(pst))
+            fin = self._finalize(pst, pull_outputs=pull_outputs)
+            yield self._postprocess(pf, pb, *fin) if pull_outputs else fin
 
     def _postprocess(self, frames, batch, outputs, out_len, ok) -> list:
         results = []

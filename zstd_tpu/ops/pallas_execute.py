@@ -120,8 +120,18 @@ _SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
 # the sink/litload hazard-ablation floor; device-validated bit-exact
 # (validate_pallas_exec, corpus_device 101/101, validate_window_exec).
 _PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "1") == "1"
+# EXPERIMENT (dev-only, ZSTD_TPU_WEXEC_NOALIAS=1): the windowed kernel
+# takes `init` as a plain (non-aliased) input block and copies it into the
+# out block at grid step 0 instead of relying on input_output_aliasing.
+# Probes the r3 lockstep-corruption hypothesis that the aliased input's
+# HBM->VMEM prefill races the kernel's stores at large block sizes.
+_NOALIAS = os.environ.get("ZSTD_TPU_WEXEC_NOALIAS", "") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
-_L = int(os.environ.get("ZSTD_TPU_EXEC_L", "4"))  # lanes per grid step
+# lanes per grid step. L=8 re-validated r4 on device (replay 63.1 ms vs
+# 76.1 ms at L=4, stable across runs; validate_pallas_exec PASS) — more
+# in-flight window loads amortize the remaining store->load boundary under
+# the phased regime. L=16 spills vregs (r3: 68 ms).
+_L = int(os.environ.get("ZSTD_TPU_EXEC_L", "8"))
 # fused-path store window rows (span <= 128*(_FR-1) incl. the alignment
 # row); the lead pad must be _FR rows for the rd-anchored match window
 # (see _fused_short). _FR=5 measured NEUTRAL vs 3 at 128 MiB (r2) — the
@@ -765,9 +775,12 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     _lrows = _FR + (literals.shape[1] + 127) // 128 + _K + 2
     per_lane_vmem = (2 * _orows + _lrows) * 128 * 4
     # scoped-VMEM budget AND the probed multi-lane block-size corruption
-    # bound (see LOCKSTEP_BLOCK_CAP)
+    # bound (see LOCKSTEP_BLOCK_CAP); ZSTD_TPU_WEXEC_NOCLAMP=1 is a
+    # dev-only bypass of the corruption clamp for scripts/probe_lockstep.py
+    _noclamp = os.environ.get("ZSTD_TPU_WEXEC_NOCLAMP", "") == "1"
     while Li > 1 and (Li * per_lane_vmem > (88 << 20)
-                      or Li * _orows * 512 > LOCKSTEP_BLOCK_CAP):
+                      or (not _noclamp
+                          and Li * _orows * 512 > LOCKSTEP_BLOCK_CAP)):
         Li //= 2
     if L0 % Li:
         pad = Li - L0 % Li
@@ -836,7 +849,13 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
 
     def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
         # init_r is the aliased window prefix — the kernel reads/writes it
-        # through out_r directly
+        # through out_r directly (under _NOALIAS it is a separate block
+        # copied in explicitly at grid step 0)
+        if _NOALIAS:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                for j in range(Li):
+                    out_r[j, :, :] = init_r[j, :, :]
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
                      lit_rows=lit_rows, out_rows=out_rows, L=Li)
 
@@ -862,7 +881,7 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Li, out_rows, 128), jnp.int32),
-            input_output_aliases={7: 0},
+            input_output_aliases=({} if _NOALIAS else {7: 0}),
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 << 20),
             interpret=interpret,

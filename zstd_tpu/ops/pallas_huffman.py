@@ -42,7 +42,8 @@ from zstd_tpu.ops.pallas_sequence import (
 # between refills can never underflow.
 _CACHE_R = 32
 
-# dev-only ablation switch (see pallas_sequence.py)
+# dev-only ablation switch (see pallas_sequence.py; "cachehaz" is the
+# store->load hazard probe — timing-only, wrong results)
 _ABLATE = os.environ.get("ZSTD_TPU_HUFF_ABLATE", "")
 
 LIT_CHUNK = 512  # symbols per grid step (must be even: 2-symbol groups)
@@ -68,8 +69,8 @@ def _top_bits(hi, n_u):
 
 
 def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
-                 lit_out, ok_ref, st_ref, cache_ref, Nw: int, n_chunks: int,
-                 G: int = 0):
+                 lit_out, ok_ref, st_ref, cache_ref, *xtra, Nw: int,
+                 n_chunks: int, G: int = 0):
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
     ld1 = (1,) * (bnd_ref.ndim - 1)  # (1,) flat, (1, 1) packed
@@ -146,6 +147,11 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
         if _ABLATE == "fetch":
             newbits = jnp.zeros_like(used).astype(_U32)
             fp = fp - used
+        elif _ABLATE == "cachehaz":
+            # hazard probe (see pallas_sequence.py): same ops, loads hit a
+            # never-stored clone, t0 constant — no store->load pair
+            newbits, fp = _fetch_cached(xtra[0], jnp.zeros_like(fp), fp,
+                                        used)
         else:
             newbits, fp = _fetch_cached(cache_ref, st_ref[7:8], fp, used)
         lo = lo | newbits
@@ -249,7 +255,9 @@ def decode_huffman_lanes_pallas(streams_u8,   # (B, L) u8
                    jax.ShapeDtypeStruct((max(G, 1), 128) if packed
                                         else (1, B), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((8,) + ldims, jnp.int32),
-                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)],
+                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)]
+        + ([pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)]
+           if _ABLATE == "cachehaz" else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,

@@ -32,7 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 from zstd_tpu.common import constants as C
 
 # dev-only ablation switch for on-TPU cost attribution (never set in
-# production): "lookup" | "fetch" | "store" skips that stage
+# production): "lookup" | "fetch" | "store" skips that stage entirely;
+# "cachehaz" keeps every op but redirects the per-step cache/st_ref LOADS
+# to a never-stored scratch clone — same op structure, no store->load
+# ordering pair on any ref (timing-only: results are wrong). This is the
+# sink/litload-style hazard probe the exec kernel used to find that 53% of
+# its time was memory-ordering stalls (PERF.md r3).
 _ABLATE = os.environ.get("ZSTD_TPU_SEQ_ABLATE", "")
 
 SEQ_CHUNK = 512  # sequences per grid step (output block rows)
@@ -193,7 +198,7 @@ def _extract(v, o, n):
 def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
                 mltab_ref, lllog_ref, oflog_ref, mllog_ref, luts_ref,
                 ll_out, ml_out, of_out, okpos_ref,
-                st_ref, cache_ref, Nw: int, B: int, n_chunks: int,
+                st_ref, cache_ref, *xtra, Nw: int, B: int, n_chunks: int,
                 G: int = 0):
     pid = pl.program_id(0)
     nblk = (Nw + _CW - 1) // _CW
@@ -225,7 +230,15 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         def _():
             st_ref[5:6] = _refill_cache(words_ref, cache_ref, pos, nblk)
 
-        t0 = st_ref[5:6]
+        if _ABLATE == "cachehaz":
+            # hazard probe: identical op structure, but the per-step loads
+            # hit a never-stored clone (and t0 is a constant) so no load in
+            # the loop is ordered against a store
+            t0 = jnp.zeros_like(pos)
+            fetch_ref = xtra[0]
+        else:
+            t0 = st_ref[5:6]
+            fetch_ref = cache_ref
         i = pid * SEQ_CHUNK + k
         active = (i < nseq).astype(jnp.int32)
         not_last = i < nseq - 1
@@ -264,7 +277,7 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
         if _ABLATE == "fetch":
             v = [jnp.zeros_like(pos).astype(jnp.uint32) for _ in range(4)]
         else:
-            v = _fetch_window_cached(cache_ref, t0, base)
+            v = _fetch_window_cached(fetch_ref, t0, base)
         o3 = start - (base << 5)
         o2 = o3 + nbs
         o1 = o2 + nb2
@@ -409,7 +422,9 @@ def decode_sequence_lanes_pallas(streams_u8,   # (B, L) u8
                                  jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((8,) + ldims, jnp.int32),
-                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)],
+                        pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)]
+        + ([pltpu.VMEM((2 * _CW,) + ldims, jnp.int32)]
+           if _ABLATE == "cachehaz" else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=interpret,

@@ -779,46 +779,49 @@ class BatchDecoder:
         for m in chain_live:
             by_w.setdefault(_pow2(max(int(m.window), 1024), lo=1024),
                             []).append(m)
+        from zstd_tpu.ops.pallas_execute import _NOALIAS as _WEXEC_NOALIAS
+        li_max = int(os.environ.get("ZSTD_TPU_CHAIN_LI_MAX", "4"))
         for W, bucket in sorted(by_w.items()):
             # lane-group width under the scoped-VMEM budget at the bucket's
             # WORST-case step shapes: the kernel holds the (window+group)
-            # block twice (aliased input + output, i32) plus the literal
-            # block per lane — mirrors execute_window_pallas's own clamp
+            # out block + the window-rows init block + the literal block
+            # per lane (the aliased dev-probe mode holds the out block
+            # twice) — mirrors execute_window_pallas's own clamp
             gw_all = _pow2(max(int(bound_h[r])
                                for m in bucket for r in m.rows))
             lw_all = min(_pow2(max(max(int(lit_len_h[r])
                                        for m in bucket for r in m.rows), 4),
                                lo=4), lit_full.shape[1] * 4)
-            per_lane = (2 * (W + gw_all) + lw_all) * 4 + (1 << 16)
-            # DEVICE CONSTRAINT (probed, r3): multi-lane windowed blocks
-            # corrupt output beyond ~18 MB total out-block even though the
-            # scoped-VMEM budget allows far more (2x3 MiB @ W=2 MiB lost
-            # every store past ~350 KiB at a bit-exact-at-Li=1 shape; Li=2
-            # at a 17.8 MB block is bit-exact). Mirror the clamp in
-            # execute_window_pallas.
+            both = (2 * (W + gw_all) if not _WEXEC_NOALIAS
+                    else (W + gw_all) + W)
+            per_lane = (both + lw_all) * 4 + (1 << 16)
             blk_lane = window_out_rows(W, gw_all) * 512
-            if blk_lane > LOCKSTEP_BLOCK_CAP:
-                # even a single lane exceeds the probed-safe bound — the
-                # corruption mode is SILENT (ok flags stay true), so route
-                # the whole bucket to the host fallback rather than run the
-                # windowed kernel unguarded (ADVICE r3, medium)
-                for m in bucket:
-                    chain_pend.append((m, m.rows, None, 0, None, None))
-                continue
+            if not _WEXEC_NOALIAS:
+                # aliased dev-probe mode only: the io-aliasing DMA race
+                # corrupts SILENTLY (ok stays true) past the probed bound
+                # (r3/r4) — route oversized buckets to the host fallback
+                if blk_lane > LOCKSTEP_BLOCK_CAP:
+                    for m in bucket:
+                        chain_pend.append((m, m.rows, None, 0, None, None))
+                    continue
             li = 1
-            while (li < 4 and li * 2 <= len(bucket)
+            while (li < li_max and li * 2 <= len(bucket)
                    and (li * 2) * per_lane <= (88 << 20)
-                   and (li * 2) * blk_lane <= LOCKSTEP_BLOCK_CAP):
+                   and (_WEXEC_NOALIAS
+                        or (li * 2) * blk_lane <= LOCKSTEP_BLOCK_CAP)):
                 li *= 2
             if os.environ.get("ZSTD_TPU_CHAIN_LI"):
-                # dev override — still clamped to the probed corruption
-                # bound: violating it silently produces wrong bytes with
-                # ok=true (ADVICE r3)
+                # dev override — still clamped to the VMEM budget (and, in
+                # the aliased probe mode, the probed corruption bound:
+                # violating it silently produces wrong bytes with ok=true)
                 li_req = int(os.environ["ZSTD_TPU_CHAIN_LI"])
-                li = max(1, min(li_req, LOCKSTEP_BLOCK_CAP // blk_lane))
+                cap = max(1, (88 << 20) // per_lane)
+                if not _WEXEC_NOALIAS:
+                    cap = min(cap, LOCKSTEP_BLOCK_CAP // blk_lane)
+                li = max(1, min(li_req, cap))
                 if li != li_req:
-                    print(f"ZSTD_TPU_CHAIN_LI={li_req} clamped to {li} "
-                          f"(LOCKSTEP_BLOCK_CAP)", flush=True)
+                    print(f"ZSTD_TPU_CHAIN_LI={li_req} clamped to {li}",
+                          flush=True)
             for s in range(0, len(bucket), li):
                 metas = bucket[s:s + li]
                 L = len(metas)

@@ -45,9 +45,16 @@ def _round_pow2(n: int, lo: int = 16) -> int:
 # (decode_buffer.rs:182-218, SURVEY.md §5 long-context analog).
 DEVICE_FRAME_CAP = 1 << 20
 # per-group caps: output upper bound and 128-aligned sequence slots (the
-# group's records must fit the exec kernel's SMEM chunking)
-GROUP_OUT_CAP = 1 << 21
-GROUP_SEQ_CAP = 24 * 1024
+# group's records must fit the exec kernel's SMEM chunking).
+# OUT_CAP leaves MAX_BLOCK_SIZE headroom below 2 MiB so a closed group's
+# bound (<= CAP - 1 + MAX_BLOCK) still pow2-quantizes to 2 MiB — the r3
+# value (1 << 21) overshot to a 4 MiB kernel out width for nothing.
+# SEQ_CAP 80K (r3: 24K) makes chains split by OUTPUT size, not sequence
+# count (~5x fewer windowed group dispatches per long frame); worst-case
+# group records (CAP - 1 + one 43K-record jumbo block) stay under the exec
+# kernel's MAX_SMEM_SEQS = 128K.
+GROUP_OUT_CAP = (1 << 21) - (1 << 17)
+GROUP_SEQ_CAP = 80 * 1024
 # frames whose window exceeds this fall back to the host oracle (the
 # streamed exec kernel holds the window in VMEM: W + group + literals < 80MB)
 STREAM_WINDOW_CAP = 1 << 23

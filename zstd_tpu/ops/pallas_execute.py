@@ -78,13 +78,16 @@ def _st(ref, lane, rd, rows: int, val, mask):
 # beyond it take the host/XLA fallback.
 MAX_SMEM_SEQS = 131072
 
-# DEVICE CONSTRAINT (probed, r3): multi-lane lockstep windowed blocks
-# corrupt output beyond ~18 MB total out-block even though scoped VMEM
-# allows far more — Li=2 at a 17.8 MB block is bit-exact, Li=2 at 25.2 MB
-# loses every store past a fixed offset (while the same shapes at Li=1 are
-# exact, and Li=1 is validated to 16.8 MB/lane). Both the bucket planner
-# (models/batch_decoder.py) and execute_window_pallas clamp lanes_per_step
-# so Li * out_block_bytes stays under this.
+# ROOT CAUSE FOUND (r4, scripts/probe_lockstep.py): the r3 "multi-lane
+# lockstep corruption past ~18 MB" was an input_output_aliasing DMA race —
+# the aliased init block's prefill races the kernel at large block sizes
+# (Li=1 @ 31.5-36.6 MB corrupted ~257 KiB of match copies from byte 64 with
+# ok=true; the SAME shape with an explicit init copy is bit-exact, and r3's
+# own corrupting shape Li=2 @ 12.6 MB/lane no longer reproduces). The
+# windowed kernel now defaults to the explicit-copy form (no aliasing, the
+# init block holds only the window rows), so the cap is the VMEM budget
+# scaled per lane, not a corruption bound. Kept only for the dev-probe
+# aliased mode (ZSTD_TPU_WEXEC_NOALIAS=0).
 LOCKSTEP_BLOCK_CAP = 18 << 20
 
 
@@ -120,12 +123,15 @@ _SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
 # the sink/litload hazard-ablation floor; device-validated bit-exact
 # (validate_pallas_exec, corpus_device 101/101, validate_window_exec).
 _PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "1") == "1"
-# EXPERIMENT (dev-only, ZSTD_TPU_WEXEC_NOALIAS=1): the windowed kernel
-# takes `init` as a plain (non-aliased) input block and copies it into the
-# out block at grid step 0 instead of relying on input_output_aliasing.
-# Probes the r3 lockstep-corruption hypothesis that the aliased input's
-# HBM->VMEM prefill races the kernel's stores at large block sizes.
-_NOALIAS = os.environ.get("ZSTD_TPU_WEXEC_NOALIAS", "") == "1"
+# DEFAULT ON (r4): the windowed kernel takes the window prefix as a plain
+# (non-aliased) input block and copies it into the out block at grid step
+# 0. The io-aliased form (ZSTD_TPU_WEXEC_NOALIAS=0, dev probe only)
+# CORRUPTS at large blocks: the aliased input's prefill races the kernel
+# (probed r4 — Li=1 @ 31.5 MB loses ~257 KiB of match reads from byte 64
+# while ok stays true; explicit copy is bit-exact at the same shape).
+# The explicit form also halves per-lane VMEM: the init block holds only
+# the (PAD + window) rows instead of the whole out block.
+_NOALIAS = os.environ.get("ZSTD_TPU_WEXEC_NOALIAS", "1") == "1"
 _K = 8    # rows per copy chunk (1 KiB) in the slow chunked path
 # lanes per grid step. L=8 re-validated r4 on device (replay 63.1 ms vs
 # 76.1 ms at L=4, stable across runs; validate_pallas_exec PASS) — more
@@ -765,21 +771,24 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     assert window % 128 == 0
     L0, S = ll.shape
     Li = max(1, lanes_per_step)
-    # Clamp Li to what the scoped-VMEM budget actually fits: the window
-    # block is materialized TWICE (aliased input + output — HBM aliasing
-    # does not merge the VMEM copies) in i32, plus the literal block. The
-    # r2 driver bench OOMed here (Li=2, 4 MiB window -> 2x64 MB scoped
-    # allocs vs the 100 MB limit) because the caller budgeted raw bytes.
+    # Clamp Li to what the scoped-VMEM budget actually fits. Default
+    # (explicit-init) mode: out block + window-rows init block + literal
+    # block per lane. Aliased dev-probe mode: the window block is
+    # materialized TWICE (aliased input + output — HBM aliasing does not
+    # merge the VMEM copies).
     _PADr = _FR * 128
     _orows = window_out_rows(window, out_width)
+    _wrows = _FR + window // 128
     _lrows = _FR + (literals.shape[1] + 127) // 128 + _K + 2
-    per_lane_vmem = (2 * _orows + _lrows) * 128 * 4
-    # scoped-VMEM budget AND the probed multi-lane block-size corruption
-    # bound (see LOCKSTEP_BLOCK_CAP); ZSTD_TPU_WEXEC_NOCLAMP=1 is a
-    # dev-only bypass of the corruption clamp for scripts/probe_lockstep.py
+    per_lane_vmem = ((_orows + _wrows if _NOALIAS else 2 * _orows)
+                     + _lrows) * 128 * 4
+    # scoped-VMEM budget; the aliased probe mode additionally keeps the r3
+    # corruption clamp (the aliasing DMA race corrupts at large blocks).
+    # ZSTD_TPU_WEXEC_NOCLAMP=1 is a dev-only bypass for
+    # scripts/probe_lockstep.py.
     _noclamp = os.environ.get("ZSTD_TPU_WEXEC_NOCLAMP", "") == "1"
     while Li > 1 and (Li * per_lane_vmem > (88 << 20)
-                      or (not _noclamp
+                      or (not _noclamp and not _NOALIAS
                           and Li * _orows * 512 > LOCKSTEP_BLOCK_CAP)):
         Li //= 2
     if L0 % Li:
@@ -833,10 +842,20 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     disjoint = (ml == 0) | (offset >= run)
     ll = ll | jnp.where(fits & disjoint, 1 << 24, 0)
 
-    # initial out content: [PAD zeros | window | zeros], aliased to the
-    # kernel's output so match sources below the group are readable
-    init = jnp.pad(win, ((0, 0), (PAD, out_rows * 128 - window - PAD))
-                   ).astype(jnp.int32).reshape(L, out_rows, 128)
+    w_in_rows = _FR + window // 128
+    if _NOALIAS:
+        # initial out content = [PAD zeros | window]: only the window rows
+        # travel as a (small) plain input block, copied into the out block
+        # at grid step 0. Rows past the window need no init — every byte
+        # <= out_len is stored by some record, bytes past out_len are
+        # masked off on the XLA side, and loads from uninitialized rows
+        # only feed masked-off store lanes.
+        init = jnp.pad(win, ((0, 0), (PAD, 0))
+                       ).astype(jnp.int32).reshape(L, w_in_rows, 128)
+    else:
+        # dev-probe aliased mode (full block; corrupts at large sizes)
+        init = jnp.pad(win, ((0, 0), (PAD, out_rows * 128 - window - PAD))
+                       ).astype(jnp.int32).reshape(L, out_rows, 128)
 
     smem_rec = pl.BlockSpec((Li, 1, SEQ_CHUNK), lambda l, c: (0, 0, c),
                             memory_space=pltpu.SMEM)
@@ -846,23 +865,28 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     one_buf = None if interpret else pl.Buffered(buffer_count=1)
     out_spec = pl.BlockSpec((Li, out_rows, 128), lambda l, c: (0, 0, 0),
                             memory_space=pltpu.VMEM, pipeline_mode=one_buf)
+    init_spec = pl.BlockSpec(
+        (Li, w_in_rows if _NOALIAS else out_rows, 128),
+        lambda l, c: (0, 0, 0),
+        memory_space=pltpu.VMEM, pipeline_mode=one_buf)
 
     def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
-        # init_r is the aliased window prefix — the kernel reads/writes it
-        # through out_r directly (under _NOALIAS it is a separate block
-        # copied in explicitly at grid step 0)
+        # default: init_r holds the (PAD + window) rows, copied into the
+        # out block before any record executes. Aliased probe mode
+        # (ZSTD_TPU_WEXEC_NOALIAS=0): init_r is the full aliased block and
+        # the kernel reads/writes it through out_r directly.
         if _NOALIAS:
             @pl.when(pl.program_id(1) == 0)
             def _():
                 for j in range(Li):
-                    out_r[j, :, :] = init_r[j, :, :]
+                    out_r[j, 0:w_in_rows, :] = init_r[j, :, :]
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
                      lit_rows=lit_rows, out_rows=out_rows, L=Li)
 
     # DEVICE CONSTRAINT (measured, r3): the grid must not advance across
-    # lane groups within one pallas_call — the aliased single-buffered
-    # window block loses stores at the block transition on Mosaic (multi
-    # -frame lockstep corrupted everything past ~350 KiB while the
+    # lane groups within one pallas_call — the single-buffered window
+    # block loses stores at the block transition on Mosaic (multi-frame
+    # lockstep corrupted everything past ~350 KiB while the
     # grid=(1, n_chunks) shape is bit-exact). One call per Li-lane group,
     # all lanes inside the single block, grid (1, n_chunks) per call.
     parts = []
@@ -877,7 +901,7 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (0, 0, 0),
                              memory_space=pltpu.VMEM, pipeline_mode=one_buf),
-                out_spec,
+                init_spec,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Li, out_rows, 128), jnp.int32),
@@ -889,7 +913,15 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
           rec3(lpv[sl]), nseq[sl, None, None], lit_i32[sl], init[sl]))
     out_i32 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    flat = out_i32.reshape(L, out_rows * 128)[:, base:base + out_width]
+    flat_all = out_i32.reshape(L, out_rows * 128)
+    # DEVICE CANARY (r4): the kernel never stores into the window prefix,
+    # so any init-copy/lost-store failure (the r3/r4 corruption class
+    # surfaced with ok=true) shows up as a window-region mismatch — fold
+    # it into ok so windowed-exec corruption can never again hide.
+    win_back = (flat_all[:, PAD:PAD + window].astype(jnp.uint8)
+                == win.astype(jnp.uint8))
+    ok = ok & jnp.all(win_back, axis=1)
+    flat = flat_all[:, base:base + out_width]
     pos = jnp.arange(out_width, dtype=jnp.int32)[None, :]
     out = jnp.where(pos < out_len[:, None], flat, 0).astype(jnp.uint8)
     return out[:L0], ok[:L0]

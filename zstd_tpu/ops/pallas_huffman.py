@@ -137,11 +137,7 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
         return sym, (state, vpos - nb, hi, lo, used + nb)
 
     def group(g, carry):
-        state, vpos, ok, hi, lo, fp, used = carry
-
-        @pl.when(g % _CACHE_R == 0)
-        def _():
-            st_ref[7:8] = _refill_cache(words_ref, cache_ref, fp, nblk)
+        state, vpos, ok, hi, lo, fp, used, t0 = carry
 
         # refill first: `used` <= 22 bits are free at the container bottom
         if _ABLATE == "fetch":
@@ -153,7 +149,7 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
             newbits, fp = _fetch_cached(xtra[0], jnp.zeros_like(fp), fp,
                                         used)
         else:
-            newbits, fp = _fetch_cached(cache_ref, st_ref[7:8], fp, used)
+            newbits, fp = _fetch_cached(cache_ref, t0, fp, used)
         lo = lo | newbits
         used = jnp.zeros_like(used)
 
@@ -171,13 +167,29 @@ def _huff_kernel(words_ref, init_ref, nsym_ref, bnd_ref, syms_ref, mb_ref,
             else:
                 lit_out[pl.ds(k, 1), :] = out0
                 lit_out[pl.ds(k + 1, 1), :] = out1
-        return state, vpos, ok, hi, lo, fp, used
+        return state, vpos, ok, hi, lo, fp, used, t0
+
+    def outer(r, carry):
+        # refill once per _CACHE_R groups in the outer loop so the inner
+        # fori never stores to cache_ref — the conditional in-loop refill
+        # put a predicated store ahead of every group's cache loads and
+        # Mosaic's store->load ordering charged the boundary every group
+        # (see pallas_sequence.py, measured r4)
+        fp = carry[5]
+        t0 = _refill_cache(words_ref, cache_ref, fp, nblk)
+
+        def inner(g2, c):
+            return group(r * _CACHE_R + g2, c)
+
+        out = jax.lax.fori_loop(0, _CACHE_R, inner, carry + (t0,))
+        return out[:7]
 
     carry = (st_ref[0:1], st_ref[1:2], st_ref[2:3],
              st_ref[3:4].astype(_U32), st_ref[4:5].astype(_U32),
              st_ref[5:6], st_ref[6:7])
+    assert (LIT_CHUNK // 2) % _CACHE_R == 0
     state, vpos, ok, hi, lo, fp, used = jax.lax.fori_loop(
-        0, LIT_CHUNK // 2, group, carry)
+        0, (LIT_CHUNK // 2) // _CACHE_R, outer, carry)
     st_ref[0:1] = state
     st_ref[1:2] = vpos
     st_ref[2:3] = ok

@@ -112,12 +112,19 @@ def _lut(lut_col, code):
 # width, the wide-bucket wall). Consumption is monotonically downward, so
 # a (2*_CW, B) scratch cache covering the words at/below the cursor serves
 # _CACHE_R steps of fetches; only the refill (every _CACHE_R steps) scans
-# the full array. Guaranteed safe: a refill leaves >= _CW*32 = 1024 bits
-# below the cursor and one step consumes <= 89 bits, so _CACHE_R = 10
+# the full array. Guaranteed safe: a refill leaves >= _CW*32 - 31 = 993
+# bits below the cursor and one step consumes <= 89 bits, so _CACHE_R = 8
 # never underflows on a valid stream (malformed overconsumption is caught
 # by the final pos == 0 check as before).
+#
+# The refill lives in an OUTER loop (SEQ_CHUNK/_CACHE_R iterations), the
+# decode steps in an inner fori that never stores to cache_ref: a
+# conditional per-step refill (@pl.when(k % R == 0)) puts a (predicated)
+# store ahead of every step's cache loads, and Mosaic orders any load
+# against earlier stores to the same ref — measured r4 (cachehaz ablation)
+# at 48% of the whole kernel. _CACHE_R must divide SEQ_CHUNK.
 _CW = 32
-_CACHE_R = 10
+_CACHE_R = 8
 
 
 def _refill_cache(w_ref, cache_ref, pos, nblk: int):
@@ -224,11 +231,7 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
     nseq = nseq_ref[0:1]
 
     def step(k, carry):
-        s_ll, s_of, s_ml, pos, ok = carry
-
-        @pl.when(k % _CACHE_R == 0)
-        def _():
-            st_ref[5:6] = _refill_cache(words_ref, cache_ref, pos, nblk)
+        s_ll, s_of, s_ml, pos, ok, t0 = carry
 
         if _ABLATE == "cachehaz":
             # hazard probe: identical op structure, but the per-step loads
@@ -237,7 +240,6 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
             t0 = jnp.zeros_like(pos)
             fetch_ref = xtra[0]
         else:
-            t0 = st_ref[5:6]
             fetch_ref = cache_ref
         i = pid * SEQ_CHUNK + k
         active = (i < nseq).astype(jnp.int32)
@@ -318,11 +320,29 @@ def _seq_kernel(words_ref, init_ref, nseq_ref, lltab_ref, oftab_ref,
                 ll_out[pl.ds(k, 1)] = ll
                 ml_out[pl.ds(k, 1)] = ml
                 of_out[pl.ds(k, 1)] = ofv
-        return s_ll, s_of, s_ml, pos, ok
+        return s_ll, s_of, s_ml, pos, ok, t0
+
+    def outer(r, carry):
+        # refill ONCE per _CACHE_R steps, outside the step loop: the inner
+        # fori never stores to cache_ref, so its per-step loads carry no
+        # store->load ordering boundary (measured r4: the conditional
+        # in-loop refill cost 48% of the kernel in stalls); t0 rides the
+        # carry instead of bouncing through st_ref
+        s_ll, s_of, s_ml, pos, ok = carry
+        t0 = _refill_cache(words_ref, cache_ref, pos, nblk)
+
+        def inner(k2, c):
+            return step(r * _CACHE_R + k2, c)
+
+        out = jax.lax.fori_loop(0, _CACHE_R, inner,
+                                (s_ll, s_of, s_ml, pos, ok, t0))
+        return out[:5]
 
     carry = (st_ref[0:1], st_ref[1:2], st_ref[2:3],
              st_ref[3:4], st_ref[4:5])
-    s_ll, s_of, s_ml, pos, ok = jax.lax.fori_loop(0, SEQ_CHUNK, step, carry)
+    assert SEQ_CHUNK % _CACHE_R == 0
+    s_ll, s_of, s_ml, pos, ok = jax.lax.fori_loop(
+        0, SEQ_CHUNK // _CACHE_R, outer, carry)
     st_ref[0:1] = s_ll
     st_ref[1:2] = s_of
     st_ref[2:3] = s_ml

@@ -2302,8 +2302,10 @@ int64_t zt_walk_frame(const uint8_t* data, int64_t len,
                       uint32_t* lltab, uint32_t* oftab, uint32_t* mltab,
                       int32_t* fse_logs, int64_t fse_cap) {
     const int64_t MAX_BLOCK = 128 * 1024;
-    const int64_t GROUP_OUT_CAP = (int64_t)1 << 21;
-    const int64_t GROUP_SEQ_CAP = 24 * 1024;
+    // MUST match zstd_tpu/models/framer.py (the walker bails to the Python
+    // walk exactly when the framer would split into a chained group)
+    const int64_t GROUP_OUT_CAP = ((int64_t)1 << 21) - ((int64_t)1 << 17);
+    const int64_t GROUP_SEQ_CAP = 80 * 1024;
     if (len < 4) return -1;
     uint32_t magic = (uint32_t)rd32(data);
     if (magic != 0xFD2FB528u) return -1;  // skippable/garbage -> Python

@@ -4,6 +4,8 @@ zstd frames (bench corpus, libzstd-encoded)."""
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

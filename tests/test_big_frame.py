@@ -66,6 +66,42 @@ def test_device_single_big_frame():
     assert decode_all_device(z) == data
 
 
+def test_device_big_window_frame():
+    """A window_log-24 frame (zstd --long territory) must decode on the
+    DEVICE chained path: the VMEM window holds only a 4 MiB prefix and far
+    matches stream from the HBM accumulator (frame_decoder.rs:163-178 —
+    the reference decodes any window in bounded memory; round-3 gap #1)."""
+    import numpy as np
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    rng = np.random.RandomState(3)
+    # force long-range matches: a 6 MiB body whose tail re-quotes 256 KiB
+    # blocks from >4 MiB earlier (beyond the VMEM prefix => far path)
+    head = (wiki_like(5 << 20, seed=21)
+            + rng.randint(0, 256, 1 << 20).astype(np.uint8).tobytes())
+    body = head + head[:256 << 10] + wiki_like(256 << 10, seed=22) \
+        + head[(1 << 20):(1 << 20) + (256 << 10)]
+    params = zstandard.ZstdCompressionParameters(
+        window_log=24, enable_ldm=True, compression_level=6)
+    # streaming compression (no size hint): the frame header carries the
+    # full window_log-24 descriptor instead of clamping to the content size
+    cobj = zstandard.ZstdCompressor(compression_params=params).compressobj()
+    z = cobj.compress(body) + cobj.flush()
+
+    dec = BatchDecoder()
+    batch = dec.prepare([z])
+    meta = batch.metas[0]
+    assert meta.ok, meta.error
+    assert not meta.fallback, "big-window frame must stay on device"
+    assert meta.window > (1 << 23), "fixture must exceed STREAM_WINDOW_CAP"
+    assert len(meta.rows) > 1
+    outputs, out_len, ok = dec.run_device(batch)
+    assert bool(ok[meta.rows[0]]), "device big-window decode flagged"
+    got = outputs[meta.rows[0]][:int(out_len[meta.rows[0]])].tobytes()
+    assert got == body
+
+
 def test_device_lockstep_multi_chain():
     """Several chained frames (different lengths and windows) decode
     together: the lockstep scheduler advances all chains per step in one

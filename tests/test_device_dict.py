@@ -50,6 +50,46 @@ def test_dict_corpus_on_device_pipeline():
 
 @pytest.mark.skipif(not os.path.isdir(DICT_DIR),
                     reason="reference dict corpus not mounted")
+def test_big_dict_frame_chains_on_device():
+    """A multi-MiB dict-compressed frame must take the CHAINED device path
+    with the dict content seeding the exec window (decode_buffer.rs:143-179
+    repeat_from_dict), not the host fallback."""
+    import zstandard
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    with open(os.path.join(DICT_DIR, "dictionary"), "rb") as f:
+        dict_bytes = f.read()
+    # payload that matches into the dict content early (first matches hit
+    # the window prefill) and into itself later
+    rng = np.random.RandomState(11)
+    chunks = []
+    tail = dict_bytes[-4096:]
+    for i in range(800):
+        chunks.append(tail[rng.randint(0, 2048):][:2048])
+        chunks.append(rng.randint(0, 256, 1024).astype(np.uint8).tobytes())
+    data = b"".join(chunks)  # ~2.3 MiB
+    comp = zstandard.ZstdCompressor(
+        level=3, dict_data=zstandard.ZstdCompressionDict(dict_bytes),
+        write_checksum=True)
+    frame = comp.compress(data)
+
+    dec = BatchDecoder()
+    dec.add_dict(dict_bytes)
+    batch = dec.prepare([frame])
+    m = batch.metas[0]
+    assert m.ok, m.error
+    assert not m.fallback, "big dict frame must stay on the device path"
+    assert len(m.rows) > 1, "frame this size must chain"
+    assert m.dict_prefill, "chained dict frame must carry the prefill"
+    assert m.dict_skip == 0
+    outputs, out_len, ok = dec.run_device(batch)
+    assert bool(np.asarray(ok)[m.rows[0]]), "device chain must self-validate"
+    assert dec.decode_frames([frame]) == [data]
+
+
+@pytest.mark.skipif(not os.path.isdir(DICT_DIR),
+                    reason="reference dict corpus not mounted")
 def test_unregistered_dict_falls_back():
     from zstd_tpu.models.batch_decoder import BatchDecoder
 

@@ -26,13 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from zstd_tpu.common.errors import ZstdError
-from zstd_tpu.models.framer import DeviceBatch, Framer
+from zstd_tpu.models.framer import (DeviceBatch, Framer,
+                                    STREAM_WINDOW_CAP)
 from zstd_tpu.ops.execute import execute_sequences_lanes
 from zstd_tpu.ops.huffman import decode_huffman_lanes
 from zstd_tpu.ops.pallas_execute import MAX_SMEM_SEQS, execute_sequences_pallas
 from zstd_tpu.ops.pallas_huffman import decode_huffman_lanes_pallas
 from zstd_tpu.ops.pallas_sequence import decode_sequence_lanes_pallas
 from zstd_tpu.ops.pallas_execute import (LOCKSTEP_BLOCK_CAP,
+                                         WINDOW_VMEM_CAP,
                                          execute_window_pallas,
                                          window_out_rows)
 from zstd_tpu.ops.sequence import (apply_hist, decode_sequence_lanes,
@@ -345,24 +347,93 @@ def _resolve_chained(ll_full, ml_full, of_full, is_real, init_hist, cont):
     return offsets, out_len, ok, nseq
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def _far_prep(ll_g, ml_g, off_g, written, W: int):
+    """FAR-match bookkeeping for big-window chained frames: classify
+    records whose match source lies entirely below the VMEM window
+    (off > pos + W; max match length << W makes the straddle impossible),
+    and compute their byte cursors into the compacted far stream plus
+    absolute source starts in the HBM accumulator."""
+    run = ll_g + ml_g
+    p_m = jnp.cumsum(run, axis=1) - ml_g
+    far = (ml_g > 0) & (off_g > p_m + W)
+    mlf = jnp.where(far, ml_g, 0)
+    fend = jnp.cumsum(mlf, axis=1)
+    fsb = jnp.where(far, fend - mlf, -1)
+    src0 = written[:, None] + p_m - off_g
+    return mlf, fend, fsb, src0
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _far_row_totals(ll_g, ml_g, off_g, W: int):
+    """Per-row far match byte totals (see _far_prep) — sizes the gather."""
+    run = ll_g + ml_g
+    p_m = jnp.cumsum(run, axis=1) - ml_g
+    far = (ml_g > 0) & (off_g > p_m + W)
+    return jnp.sum(jnp.where(far, ml_g, 0), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("Fw",))
+def _far_gather(acc, mlf, fend, src0, Fw: int):
+    """Element-gather the compacted far stream (L, Fw) u8 from the HBM
+    accumulator (decode_buffer.rs:182-218 semantics with the window in HBM
+    instead of a host fallback)."""
+    L, S = fend.shape
+    t = jnp.arange(Fw, dtype=jnp.int32)
+    outs = []
+    for i in range(L):
+        rec = jnp.clip(jnp.searchsorted(fend[i], t, side="right"), 0, S - 1)
+        start = jnp.take(fend[i] - mlf[i], rec)
+        s0 = jnp.take(src0[i], rec)
+        idx = jnp.clip(s0 + (t - start), 0, acc.shape[1] - 1)
+        outs.append(jnp.take(acc[i], idx))
+    return jnp.stack(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("gw", "lw", "W",
-                                             "lanes_per_step", "interpret"))
+                                             "lanes_per_step", "interpret",
+                                             "far_w"))
 def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
                       acc, written, rows, gw: int, lw: int, W: int,
-                      lanes_per_step: int = 1, interpret: bool = False):
+                      lanes_per_step: int = 1, interpret: bool = False,
+                      hist0=None, real_win=None, far_w: int = 0):
     """Execute step-k block groups of L chained frames in LOCKSTEP: gather
     the group rows, window each frame's accumulator, run the aliased
     multi-lane exec kernel, append per lane. Lanes of finished chains point
-    at the inert frame row (zero records -> zero-length no-op append)."""
+    at the inert frame row (zero records -> zero-length no-op append).
+
+    hist0 (L,) i32: real history bytes present BEFORE the frame's own
+    output — dictionary prefill seeded into acc[:, W-hist0:W] by the
+    caller (decode_buffer.rs:143-179 repeat_from_dict analog).
+
+    real_win (L,) i32 + far_w: big-window mode (real window > the VMEM
+    prefix W). Offsets are validated against the REAL window; far matches
+    are pre-gathered from the accumulator into a (L, far_w) stream the
+    kernel copies from (see pallas_execute.WINDOW_VMEM_CAP)."""
     L = rows.shape[0]
     lits = _unpack_words(lit_full[rows][:, :lw // 4])
     olen = out_len_all[rows]
     win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,), (W,))
                      for i in range(L)])
+    avail = written - W
+    if hist0 is not None:
+        avail = avail + hist0
+    far_bytes = fsb = None
+    if real_win is not None:
+        avail = jnp.minimum(avail, real_win)
+        mlf, fend, fsb, src0 = _far_prep(
+            ll_full[rows], ml_full[rows], offsets[rows], written, W=W)
+        if far_w:
+            far_bytes = _far_gather(acc, mlf, fend, src0, Fw=far_w)
+        else:
+            # bucket has big-window lanes but this step has no far bytes:
+            # a 128-byte stub keeps the kernel's far plumbing shape-stable
+            far_bytes = jnp.zeros((L, 128), jnp.uint8)
     out_r, ok_r = execute_window_pallas(
         ll_full[rows], ml_full[rows], offsets[rows], lits, olen, win,
-        written - W, out_width=gw, window=W,
-        lanes_per_step=lanes_per_step, interpret=interpret)
+        avail, out_width=gw, window=W,
+        lanes_per_step=lanes_per_step, interpret=interpret,
+        far_bytes=far_bytes, fsb=fsb)
     for i in range(L):
         acc = jax.lax.dynamic_update_slice(acc, out_r[i][None, :],
                                            (i, written[i]))
@@ -777,11 +848,17 @@ class BatchDecoder:
         # per group, instead of passing all lanes to one call.
         by_w = {}
         for m in chain_live:
-            by_w.setdefault(_pow2(max(int(m.window), 1024), lo=1024),
-                            []).append(m)
+            Wp = _pow2(max(int(m.window), 1024), lo=1024)
+            if Wp > STREAM_WINDOW_CAP:
+                # real window too big for VMEM: 4 MiB VMEM prefix + far
+                # matches pre-gathered from the HBM accumulator
+                key = (WINDOW_VMEM_CAP, True)
+            else:
+                key = (Wp, False)
+            by_w.setdefault(key, []).append(m)
         from zstd_tpu.ops.pallas_execute import _NOALIAS as _WEXEC_NOALIAS
         li_max = int(os.environ.get("ZSTD_TPU_CHAIN_LI_MAX", "4"))
-        for W, bucket in sorted(by_w.items()):
+        for (W, far_mode), bucket in sorted(by_w.items()):
             # lane-group width under the scoped-VMEM budget at the bucket's
             # WORST-case step shapes: the kernel holds the (window+group)
             # out block + the window-rows init block + the literal block
@@ -795,6 +872,9 @@ class BatchDecoder:
             both = (2 * (W + gw_all) if not _WEXEC_NOALIAS
                     else (W + gw_all) + W)
             per_lane = (both + lw_all) * 4 + (1 << 16)
+            if far_mode:
+                # far stream block: worst case every match byte is far
+                per_lane += (gw_all + (1 << 12)) * 4
             blk_lane = window_out_rows(W, gw_all) * 512
             if not _WEXEC_NOALIAS:
                 # aliased dev-probe mode only: the io-aliasing DMA race
@@ -822,6 +902,17 @@ class BatchDecoder:
                 if li != li_req:
                     print(f"ZSTD_TPU_CHAIN_LI={li_req} clamped to {li}",
                           flush=True)
+            far_tot = {}
+            if far_mode:
+                # one sync: per-row far byte totals so each step's gather
+                # width comes from a small pow2 ladder (0 = no far bytes)
+                rows_fl = [r for m in bucket for r in m.rows]
+                idxf = _pad_idx(rows_fl, frame_inert, 4)
+                tots_h = np.asarray(_far_row_totals(
+                    ll_full[jnp.asarray(idxf)], ml_full[jnp.asarray(idxf)],
+                    offsets[jnp.asarray(idxf)], W=W))
+                far_tot = {r: int(t)
+                           for r, t in zip(rows_fl, tots_h[:len(rows_fl)])}
             for s in range(0, len(bucket), li):
                 metas = bucket[s:s + li]
                 L = len(metas)
@@ -831,7 +922,24 @@ class BatchDecoder:
                 accw = (W + gw_max
                         + max(_pow2(sum(int(bound_h[r]) for r in m.rows))
                               for m in metas))
-                acc = jnp.zeros((L, accw), jnp.uint8)
+                # dictionary prefill: seed the window tail with the dict
+                # content so group-0 matches reach it (hist0 marks it real)
+                hist0_h = np.zeros(L, np.int32)
+                pre = [(i, m.dict_prefill) for i, m in enumerate(metas)
+                       if m.dict_prefill]
+                if pre:
+                    acc_h = np.zeros((L, accw), np.uint8)
+                    for i, p in pre:
+                        t = p[-min(len(p), int(metas[i].window), W):]
+                        acc_h[i, W - len(t):W] = np.frombuffer(t, np.uint8)
+                        hist0_h[i] = len(t)
+                    acc = jnp.asarray(acc_h)
+                else:
+                    acc = jnp.zeros((L, accw), jnp.uint8)
+                hist0 = jnp.asarray(hist0_h) if pre else None
+                real_win = (jnp.asarray([min(int(m.window), 1 << 30)
+                                         for m in metas], jnp.int32)
+                            if far_mode else None)
                 written = jnp.full((L,), W, jnp.int32)
                 okv = jnp.ones((L,), bool)
                 with scope(f"lz77_chain_{L}x{max_len}x{W}"):
@@ -843,11 +951,17 @@ class BatchDecoder:
                         lw = min(_pow2(max(max(int(lit_len_h[r])
                                                for r in live_k), 4), lo=4),
                                  lit_full.shape[1] * 4)
+                        fw = 0
+                        if far_mode:
+                            mx = max((far_tot.get(r, 0) for r in live_k),
+                                     default=0)
+                            fw = _pow2(mx, lo=1 << 14, q=2) if mx else 0
                         acc, written, ok_r = _chain_group_step(
                             ll_full, ml_full, offsets, lit_full, out_len,
                             acc, written, jnp.asarray(rows_k, jnp.int32),
                             gw=gw, lw=lw, W=W, lanes_per_step=L,
-                            interpret=not pallas_ok)
+                            interpret=not pallas_ok, hist0=hist0,
+                            real_win=real_win, far_w=fw)
                         okv = okv & ok_r
                 for i, m in enumerate(metas):
                     chain_pend.append((m, m.rows, (acc, i), W,

@@ -55,8 +55,11 @@ DEVICE_FRAME_CAP = 1 << 20
 # kernel's MAX_SMEM_SEQS = 128K.
 GROUP_OUT_CAP = (1 << 21) - (1 << 17)
 GROUP_SEQ_CAP = 80 * 1024
-# frames whose window exceeds this fall back to the host oracle (the
-# streamed exec kernel holds the window in VMEM: W + group + literals < 80MB)
+# widest window the chained exec path keeps ENTIRELY in VMEM. Bigger real
+# windows (zstd --long, window_log 24+) still decode on device: the driver
+# switches to a 4 MiB VMEM prefix + HBM-resident history with far matches
+# pre-gathered per group (pallas_execute.WINDOW_VMEM_CAP) — no host
+# fallback (frame_decoder.rs:163-178 parity at any window size).
 STREAM_WINDOW_CAP = 1 << 23
 
 
@@ -72,6 +75,8 @@ class FrameMeta:
     dict_skip: int = 0       # leading window-prefill bytes to drop
     rows: list = dataclasses.field(default_factory=list)  # batch row ids
     window: int = 0          # window size (chained exec prefill width)
+    dict_prefill: bytes = b""  # chained frames: dict content seeding the
+    #                            exec window (decode_buffer.rs:143-179)
 
 
 @dataclasses.dataclass
@@ -222,8 +227,16 @@ class Framer:
         too_big = (self._chain_rows and
                    (self.frames[self._chain_rows[-1]]["out_bound"]
                     > GROUP_OUT_CAP + C.MAX_BLOCK_SIZE))
-        if (chained and (meta.window > STREAM_WINDOW_CAP
-                         or meta.dict_skip)) or too_big:
+        if (chained and meta.dict_skip) or too_big:
+            meta.fallback = True
+        if meta.dict_prefill and not chained:
+            # chain prediction missed (e.g. lying FCS) — the prefill only
+            # reaches the window via the chained driver
+            meta.fallback = True
+        if (meta.dict_prefill and meta.window > STREAM_WINDOW_CAP
+                and min(len(meta.dict_prefill), meta.window) > (1 << 22)):
+            # big-window chains use a 4 MiB VMEM prefix; a dict prefill
+            # larger than it cannot seed the accumulator preamble
             meta.fallback = True
         if not meta.ok or meta.fallback:
             # strip this frame's lanes/tables/rows so a fallback frame does
@@ -366,13 +379,24 @@ class Framer:
             cur_huff, cur_ll, cur_of, cur_ml = self._register_dict(d)
             self._cur["hist"] = list(d.offset_hist)
             if d.content:
-                # window prefill: emit the content as a leading literal run
-                # and slice it off the decoded output (meta.dict_skip)
-                fr = self._cur
-                self._add_literal_bytes(fr, d.content)
-                self._add_synthetic(fr, ll=len(d.content), ml=0, of=0)
-                fr["out_bound"] += len(d.content)
-                meta.dict_skip = len(d.content)
+                fcs = header.frame_content_size
+                if fcs is not None and fcs > GROUP_OUT_CAP:
+                    # this frame WILL chain (out_bound >= fcs splits it):
+                    # the chain driver seeds the windowed exec kernel's
+                    # window prefix with the dict content directly
+                    # (decode_buffer.rs:143-179 repeat_from_dict analog) —
+                    # no output inflation, no dict_skip slice
+                    meta.dict_prefill = bytes(d.content)
+                else:
+                    # single-row frames: emit the content as a leading
+                    # literal run and slice it off the decoded output
+                    # (meta.dict_skip) — the batched exec kernel has no
+                    # window input
+                    fr = self._cur
+                    self._add_literal_bytes(fr, d.content)
+                    self._add_synthetic(fr, ll=len(d.content), ml=0, of=0)
+                    fr["out_bound"] += len(d.content)
+                    meta.dict_skip = len(d.content)
         self._cur["fcs"] = header.frame_content_size
         meta.out_len = (header.frame_content_size
                         if header.frame_content_size is not None else -1)

@@ -78,6 +78,16 @@ def _st(ref, lane, rd, rows: int, val, mask):
 # beyond it take the host/XLA fallback.
 MAX_SMEM_SEQS = 131072
 
+# Windowed exec: widest window the kernel holds IN VMEM. Frames with larger
+# real windows (zstd --long, window_log 23-27) still decode on device: the
+# VMEM window serves offsets <= pos + WINDOW_VMEM_CAP, and FAR matches
+# (off > pos + cap — their source lies entirely below the VMEM window,
+# since max match length 128 KiB << cap) are pre-gathered from the HBM
+# accumulator into a compact per-lane far stream that the kernel copies
+# from like a second literal buffer (decode_buffer.rs:182-218 semantics
+# with the window in HBM instead of falling back to the host).
+WINDOW_VMEM_CAP = 1 << 22
+
 # ROOT CAUSE FOUND (r4, scripts/probe_lockstep.py): the r3 "multi-lane
 # lockstep corruption past ~18 MB" was an input_output_aliasing DMA race —
 # the aliased init block's prefill races the kernel at large block sizes
@@ -123,6 +133,12 @@ _SPLIT = os.environ.get("ZSTD_TPU_EXEC_SPLIT", "") == "1"
 # the sink/litload hazard-ablation floor; device-validated bit-exact
 # (validate_pallas_exec, corpus_device 101/101, validate_window_exec).
 _PHASED = os.environ.get("ZSTD_TPU_EXEC_PHASED", "1") == "1"
+# Windowed-kernel round width: each grid iteration processes G consecutive
+# records per lane (round-barrier eligibility keeps the phased load hoist
+# correct — see _exec_kernel). -1 = auto: max(1, 8 // lanes_per_step), so a
+# single chained frame (Li=1) gets 8 records in flight like the batched
+# kernel's L=8 lanes. 1 disables rounds (pre-r4 behavior).
+_WG = int(os.environ.get("ZSTD_TPU_WEXEC_G", "-1"))
 # DEFAULT ON (r4): the windowed kernel takes the window prefix as a plain
 # (non-aliased) input block and copies it into the out block at grid step
 # 0. The io-aliased form (ZSTD_TPU_WEXEC_NOALIAS=0, dev probe only)
@@ -394,10 +410,13 @@ def _iota_consts():
     return consts, consts4
 
 
-def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int):
-    """v1 branched dispatch — long runs and overlapping matches."""
+def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int,
+                   far_ref=None, far_rows: int = 0):
+    """v1 branched dispatch — long runs and overlapping matches. With
+    far_ref (windowed kernel only): records whose match source lies below
+    the VMEM window (fsb >= 0) copy from the pre-gathered far stream."""
 
-    def slow_seq(j, op, lp, ll, ml, off):  # noqa: C901
+    def slow_seq(j, op, lp, ll, ml, off, fsb=None):  # noqa: C901
         @pl.when((ll > 0) & ((op & 127) + ll <= 256))
         def _():
             dl = lp - op
@@ -416,9 +435,24 @@ def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int):
             _copy_chunked(lit_ref, out_ref, j, lp, op, ll, _K, lit_rows)
 
         opm = op + ll
+        if far_ref is not None:
+            not_far = fsb < 0
+
+            @pl.when((ml > 0) & ~not_far)
+            def _():
+                # far match: source bytes were pre-gathered into far_ref
+                # (128-byte lead pad keeps _copy_chunked's row math >= 0)
+                _copy_chunked(far_ref, out_ref, j, fsb + 128, opm, ml, _K,
+                              far_rows)
+
+            def nf(c):
+                return c & not_far
+        else:
+            def nf(c):  # no far stream: trace unchanged
+                return c
         short_m = (opm & 127) + ml <= 256
 
-        @pl.when((ml > 0) & (off >= 128) & short_m & (off >= ml))
+        @pl.when(nf((ml > 0) & (off >= 128) & short_m & (off >= ml)))
         def _():
             dm = -off
             q = dm >> 7
@@ -431,22 +465,22 @@ def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int):
             mask = (d >= opm) & (d < opm + ml)
             _st(out_ref, j, rd, 2, val, mask)
 
-        @pl.when((ml > 0) & (off >= 128 * _K) & ~(short_m & (off >= ml)))
+        @pl.when(nf((ml > 0) & (off >= 128 * _K) & ~(short_m & (off >= ml))))
         def _():
             _copy_chunked(out_ref, out_ref, j, opm - off, opm, ml, _K,
                           out_rows)
 
-        @pl.when((ml > 0) & (off >= 128) & (off < 128 * _K)
-                 & ~(short_m & (off >= ml)))
+        @pl.when(nf((ml > 0) & (off >= 128) & (off < 128 * _K)
+                    & ~(short_m & (off >= ml))))
         def _():
             _copy_chunked(out_ref, out_ref, j, opm - off, opm, ml, 1,
                           out_rows)
 
-        @pl.when((ml > 0) & (off < 128) & short_m)
+        @pl.when(nf((ml > 0) & (off < 128) & short_m))
         def _():
             _fill_periodic_short(out_ref, j, opm, off, ml, consts)
 
-        @pl.when((ml > 0) & (off < 128) & ~short_m)
+        @pl.when(nf((ml > 0) & (off < 128) & ~short_m))
         def _():
             _fill_periodic(out_ref, j, opm, off, ml)
 
@@ -556,7 +590,16 @@ def _pre_words(ll, ml, offset, opv, lpv, common, slow,
 
 
 def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
-                 out_ref, *scratch, lit_rows: int, out_rows: int, L: int = _L):
+                 out_ref, *scratch, lit_rows: int, out_rows: int, L: int = _L,
+                 fsb_ref=None, far_ref=None, far_rows: int = 0, G: int = 1):
+    """G > 1 (windowed kernel): each iteration is a ROUND of G consecutive
+    records per lane — intra-lane ILP for low lane counts (a single chained
+    frame runs Li=1; without rounds its dependent chain leaves the issue
+    pipeline idle). Correctness: a record joins the phased fused path only
+    if its match source lies below the ROUND's first output position
+    (round-barrier eligibility, precomputed into ll bit 24 by the wrapper),
+    so hoisting its loads across the round's other stores cannot observe
+    them; everything else takes the in-order slow path."""
     sink_ref = scratch[0] if scratch else None
     c = pl.program_id(1)
     base = c * SEQ_CHUNK
@@ -567,41 +610,46 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         count = jnp.maximum(count, counts[j])
 
     consts, consts4 = _iota_consts()
-    slow_seq = _make_slow_seq(lit_ref, out_ref, consts, lit_rows, out_rows)
+    slow_seq = _make_slow_seq(lit_ref, out_ref, consts, lit_rows, out_rows,
+                              far_ref=far_ref, far_rows=far_rows)
 
     def seq_body(i, carry):
         # cursors are precomputed prefix sums (XLA side): no serial carry —
         # every lane-iteration is fully independent, maximizing ILP. The
-        # fused-path eligibility (fits-in-window & disjoint-source) is also
-        # precomputed in XLA and packed into bit 24 of the ll record.
+        # fused-path eligibility (fits-in-window & disjoint-source [& below
+        # the round barrier when G > 1]) is also precomputed in XLA and
+        # packed into bit 24 of the ll record.
         recs = []
         for j in range(L):
-            op = op_ref[j, 0, i]
-            lp = lp_ref[j, 0, i]
-            llp = ll_ref[j, 0, i]
-            ll = llp & 0xFFFFFF
-            ml = ml_ref[j, 0, i]
-            off = of_ref[j, 0, i]
-            active = i < counts[j]
-            common = active & (llp >= (1 << 24))
-            recs.append((j, op, lp, ll, ml, off, active, common))
+            for g in range(G):
+                ii = i * G + g if G > 1 else i
+                op = op_ref[j, 0, ii]
+                lp = lp_ref[j, 0, ii]
+                llp = ll_ref[j, 0, ii]
+                ll = llp & 0xFFFFFF
+                ml = ml_ref[j, 0, ii]
+                off = of_ref[j, 0, ii]
+                active = ii < counts[j]
+                common = active & (llp >= (1 << 24))
+                recs.append((j, op, lp, ll, ml, off, active, common, ii))
 
         if _ABLATE == "body":
             return carry
 
-        # branchless fused path for all four lanes first (their chains are
-        # independent — interleaved issue hides each other's load latency)
+        # branchless fused path for all lanes/round members first (their
+        # chains are independent — interleaved issue hides load latency)
         if _ABLATE != "fused":
             if _PHASED and not _SPLIT:
                 blks = [_fused_loads(lit_ref, out_ref, j, lp, op, off,
                                      lit_rows, out_rows)
-                        for j, op, lp, ll, ml, off, active, common in recs]
-                for (j, op, lp, ll, ml, off, active, common), (lb, mb) \
+                        for j, op, lp, ll, ml, off, active, common, ii
+                        in recs]
+                for (j, op, lp, ll, ml, off, active, common, ii), (lb, mb) \
                         in zip(recs, blks):
                     _fused_finish(out_ref, j, lb, mb, lp, op, ll, ml, off,
                                   common, consts4, sink_ref=sink_ref)
             else:
-                for j, op, lp, ll, ml, off, active, common in recs:
+                for j, op, lp, ll, ml, off, active, common, ii in recs:
                     if _SPLIT:
                         _fused_split(lit_ref, out_ref, j, lp, op, ll, ml,
                                      off, common, lit_rows, out_rows,
@@ -617,19 +665,22 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
             # so the common all-fused step pays a single OR + branch
             # instead of L conditional regions
             any_slow = recs[0][6] & ~recs[0][7]
-            for j, op, lp, ll, ml, off, active, common in recs[1:]:
+            for j, op, lp, ll, ml, off, active, common, ii in recs[1:]:
                 any_slow = any_slow | (active & ~common)
 
             @pl.when(any_slow)
             def _():
-                for j, op, lp, ll, ml, off, active, common in recs:
+                for j, op, lp, ll, ml, off, active, common, ii in recs:
                     @pl.when(active & ~common)
-                    def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
-                        slow_seq(j, op, lp, ll, ml, off)
+                    def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off, ii=ii):
+                        fsb = (fsb_ref[j, 0, ii] if fsb_ref is not None
+                               else None)
+                        slow_seq(j, op, lp, ll, ml, off, fsb)
 
         return carry
 
-    jax.lax.fori_loop(0, count, seq_body, 0)
+    jax.lax.fori_loop(0, (count + G - 1) // G if G > 1 else count,
+                      seq_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("out_width", "interpret"))
@@ -753,17 +804,26 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
                           hist_avail,        # (L,) i32 real bytes preceding
                           out_width: int, window: int,
                           lanes_per_step: int = 1,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          far_bytes=None,    # (L, Fw) u8 pre-gathered far src
+                          fsb=None):         # (L, S) i32 far cursor, -1=near
     """Execute one block group each of L chained (streamed) frames.
 
     Each lane is one frame's next block group: the previous output's
     trailing `window` bytes are prefilled ahead of the group via
     input_output_aliasing, so match offsets reach across group boundaries
     exactly like the reference's window-retaining drain
-    (decode_buffer.rs:182-218). Offsets are valid up to
-    pos + min(window, hist_avail). Independent chains advance in LOCKSTEP —
-    `lanes_per_step` lanes share each grid step so their per-sequence
-    chains interleave (the same ILP story as the batched kernel's _L=4).
+    (decode_buffer.rs:182-218). Offsets are valid up to pos + hist_avail
+    (the caller caps hist_avail at the frame's REAL window). Independent
+    chains advance in LOCKSTEP — `lanes_per_step` lanes share each grid
+    step so their per-sequence chains interleave (the same ILP story as the
+    batched kernel's _L=4).
+
+    Big real windows (> `window`, the VMEM prefix width): far matches
+    (off > pos + window — source entirely below the VMEM window) read from
+    `far_bytes`, a compact stream the caller pre-gathered from its HBM
+    accumulator; `fsb` holds each record's byte cursor into it (-1 for
+    near records). See WINDOW_VMEM_CAP.
     Returns (group bytes (L, out_width) u8, ok (L,) bool).
     """
     global _RMW
@@ -780,8 +840,10 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     _orows = window_out_rows(window, out_width)
     _wrows = _FR + window // 128
     _lrows = _FR + (literals.shape[1] + 127) // 128 + _K + 2
+    _frows = (1 + far_bytes.shape[1] // 128 + _K + 2
+              if far_bytes is not None else 0)
     per_lane_vmem = ((_orows + _wrows if _NOALIAS else 2 * _orows)
-                     + _lrows) * 128 * 4
+                     + _lrows + _frows) * 128 * 4
     # scoped-VMEM budget; the aliased probe mode additionally keeps the r3
     # corruption clamp (the aliasing DMA race corrupts at large blocks).
     # ZSTD_TPU_WEXEC_NOCLAMP=1 is a dev-only bypass for
@@ -800,6 +862,9 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         out_len = jnp.pad(out_len, (0, pad))
         win = jnp.pad(win, ((0, pad), (0, 0)))
         hist_avail = jnp.pad(hist_avail, (0, pad))
+        if far_bytes is not None:
+            far_bytes = jnp.pad(far_bytes, ((0, pad), (0, 0)))
+            fsb = jnp.pad(fsb, ((0, pad), (0, 0)), constant_values=-1)
     L = ll.shape[0]
     lit_w = literals.shape[1]
     PAD = _FR * 128
@@ -810,8 +875,18 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     run = ll + ml
     endpos = jnp.cumsum(run, axis=1)
     pos_before_match = endpos - ml
-    reach = pos_before_match + jnp.minimum(hist_avail, window)[:, None]
+    if far_bytes is None:
+        avail = jnp.minimum(hist_avail, window)
+    else:
+        # far mode: the caller caps hist_avail at the frame's REAL window
+        # (which exceeds the VMEM prefix width `window`)
+        avail = hist_avail
+    reach = pos_before_match + avail[:, None]
     off_ok = (ml == 0) | ((offset > 0) & (offset <= reach))
+    if far_bytes is not None:
+        # far cursors must land their ml bytes inside the gathered stream
+        off_ok = off_ok & ((fsb < 0)
+                           | (fsb + ml <= far_bytes.shape[1]))
     lit_need = jnp.cumsum(ll, axis=1)
     ok = (jnp.all(off_ok, axis=1) & (endpos[:, -1] == out_len)
           & (out_len <= out_width) & (lit_need[:, -1] <= lit_w))
@@ -840,7 +915,21 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     span_max = 128 * (_FR - 1)
     fits = ((opv & 127) + run) <= span_max
     disjoint = (ml == 0) | (offset >= run)
-    ll = ll | jnp.where(fits & disjoint, 1 << 24, 0)
+    common = fits & disjoint
+    if far_bytes is not None:
+        common = common & (fsb < 0)  # far records take the far slow branch
+    Gr = _WG if _WG > 0 else max(1, 8 // Li)
+    while SEQ_CHUNK % Gr:
+        Gr -= 1
+    if Gr > 1:
+        # round-barrier eligibility: the fused path's phased load hoist is
+        # only correct when the match source ENDS below the ROUND's first
+        # output position (all round members' stores land above it). At
+        # G=1 this degenerates to the plain disjoint check (off >= run).
+        ridx = (jnp.arange(S, dtype=jnp.int32) // Gr) * Gr
+        rs = jnp.take(opv, ridx, axis=1)
+        common = common & ((ml == 0) | (offset >= (opv + ll + ml) - rs))
+    ll = ll | jnp.where(common, 1 << 24, 0)
 
     w_in_rows = _FR + window // 128
     if _NOALIAS:
@@ -870,18 +959,35 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         lambda l, c: (0, 0, 0),
         memory_space=pltpu.VMEM, pipeline_mode=one_buf)
 
-    def kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r):
-        # default: init_r holds the (PAD + window) rows, copied into the
-        # out block before any record executes. Aliased probe mode
+    far_rows_blk = 0
+    if far_bytes is not None:
+        Fw = far_bytes.shape[1]
+        far_rows_blk = 1 + Fw // 128 + _K + 2
+        far_i32 = jnp.pad(far_bytes,
+                          ((0, 0), (128, far_rows_blk * 128 - Fw - 128))
+                          ).astype(jnp.int32).reshape(L, far_rows_blk, 128)
+
+    def kernel(*refs):
+        # ref order: 5 record SMEM recs [+ fsb rec], ns, lit, [far,] init,
+        # out. Default: init_r holds the (PAD + window) rows, copied into
+        # the out block before any record executes. Aliased probe mode
         # (ZSTD_TPU_WEXEC_NOALIAS=0): init_r is the full aliased block and
         # the kernel reads/writes it through out_r directly.
+        if far_bytes is not None:
+            (ll_r, ml_r, of_r, op_r, lp_r, fsb_r, ns_r, lit_r, far_r,
+             init_r, out_r) = refs
+        else:
+            ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, init_r, out_r = refs
+            fsb_r = far_r = None
         if _NOALIAS:
             @pl.when(pl.program_id(1) == 0)
             def _():
                 for j in range(Li):
                     out_r[j, 0:w_in_rows, :] = init_r[j, :, :]
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
-                     lit_rows=lit_rows, out_rows=out_rows, L=Li)
+                     lit_rows=lit_rows, out_rows=out_rows, L=Li,
+                     fsb_ref=fsb_r, far_ref=far_r, far_rows=far_rows_blk,
+                     G=Gr)
 
     # DEVICE CONSTRAINT (measured, r3): the grid must not advance across
     # lane groups within one pallas_call — the single-buffered window
@@ -892,25 +998,39 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     parts = []
     for g in range(0, L, Li):
         sl = slice(g, g + Li)
+        specs = [smem_rec, smem_rec, smem_rec, smem_rec, smem_rec]
+        ins = [rec3(ll[sl]), rec3(ml[sl]), rec3(offset[sl]), rec3(opv[sl]),
+               rec3(lpv[sl])]
+        if far_bytes is not None:
+            specs.append(smem_rec)
+            ins.append(rec3(fsb[sl]))
+        specs += [
+            pl.BlockSpec((Li, 1, 1), lambda l, c: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM, pipeline_mode=one_buf),
+        ]
+        ins += [nseq[sl, None, None], lit_i32[sl]]
+        if far_bytes is not None:
+            specs.append(pl.BlockSpec((Li, far_rows_blk, 128),
+                                      lambda l, c: (0, 0, 0),
+                                      memory_space=pltpu.VMEM,
+                                      pipeline_mode=one_buf))
+            ins.append(far_i32[sl])
+        specs.append(init_spec)
+        ins.append(init[sl])
+        alias_in = len(specs) - 1
         parts.append(pl.pallas_call(
             kernel,
             grid=(1, n_chunks),
-            in_specs=[
-                smem_rec, smem_rec, smem_rec, smem_rec, smem_rec,
-                pl.BlockSpec((Li, 1, 1), lambda l, c: (0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((Li, lit_rows, 128), lambda l, c: (0, 0, 0),
-                             memory_space=pltpu.VMEM, pipeline_mode=one_buf),
-                init_spec,
-            ],
+            in_specs=specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Li, out_rows, 128), jnp.int32),
-            input_output_aliases=({} if _NOALIAS else {7: 0}),
+            input_output_aliases=({} if _NOALIAS else {alias_in: 0}),
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 << 20),
             interpret=interpret,
-        )(rec3(ll[sl]), rec3(ml[sl]), rec3(offset[sl]), rec3(opv[sl]),
-          rec3(lpv[sl]), nseq[sl, None, None], lit_i32[sl], init[sl]))
+        )(*ins))
     out_i32 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     flat_all = out_i32.reshape(L, out_rows * 128)

@@ -95,6 +95,7 @@ def test_our_encoder_frames_on_device(decoder):
         assert decode_all_device(z, decoder) == p
 
 
+@pytest.mark.slow
 def test_sharded_dryrun_4dev():
     import __graft_entry__ as ge
 

@@ -4,6 +4,7 @@
 
 import random
 
+import pytest
 import zstandard
 
 from zstd_tpu.models.splitter import decode_all_device
@@ -54,6 +55,7 @@ def test_soak_host():
         assert decode_all(z) == want
 
 
+@pytest.mark.slow
 def test_soak_device():
     rng = random.Random(32)
     for _ in range(8):
@@ -61,6 +63,7 @@ def test_soak_device():
         assert decode_all_device(z) == want
 
 
+@pytest.mark.slow
 def test_soak_encoder_multiblock():
     """OUR encoder's cross-block matcher window under randomized
     multi-block payloads (incl. RLE blocks interleaved between compressed

@@ -392,11 +392,12 @@ def _far_gather(acc, mlf, fend, src0, Fw: int):
 
 @functools.partial(jax.jit, static_argnames=("gw", "lw", "W",
                                              "lanes_per_step", "interpret",
-                                             "far_w"))
+                                             "far_w", "xla_mode"))
 def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
                       acc, written, rows, gw: int, lw: int, W: int,
                       lanes_per_step: int = 1, interpret: bool = False,
-                      hist0=None, real_win=None, far_w: int = 0):
+                      hist0=None, real_win=None, far_w: int = 0,
+                      xla_mode: bool = False):
     """Execute step-k block groups of L chained frames in LOCKSTEP: gather
     the group rows, window each frame's accumulator, run the aliased
     multi-lane exec kernel, append per lane. Lanes of finished chains point
@@ -413,11 +414,33 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
     L = rows.shape[0]
     lits = _unpack_words(lit_full[rows][:, :lw // 4])
     olen = out_len_all[rows]
-    win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,), (W,))
-                     for i in range(L)])
     avail = written - W
     if hist0 is not None:
         avail = avail + hist0
+    if xla_mode:
+        # CPU-mesh formulation (ops/execute.execute_window_xla): the
+        # interpret-mode pallas kernel costs minutes per MiB there, the
+        # XLA executor milliseconds. Far mode reads the HBM history
+        # straight from the accumulator — no far-stream pre-gather.
+        from zstd_tpu.ops.execute import execute_window_xla
+
+        if real_win is not None:
+            avail = jnp.minimum(avail, real_win)
+            acc_new, ok_r = execute_window_xla(
+                ll_full[rows], ml_full[rows], offsets[rows], lits, olen,
+                avail, out_width=gw, window=W, acc=acc, written=written)
+            return acc_new, written + olen, ok_r
+        win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,),
+                                               (W,)) for i in range(L)])
+        out_r, ok_r = execute_window_xla(
+            ll_full[rows], ml_full[rows], offsets[rows], lits, olen,
+            jnp.minimum(avail, W), out_width=gw, window=W, win=win)
+        for i in range(L):
+            acc = jax.lax.dynamic_update_slice(acc, out_r[i][None, :],
+                                               (i, written[i]))
+        return acc, written + olen, ok_r
+    win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,), (W,))
+                     for i in range(L)])
     far_bytes = fsb = None
     if real_win is not None:
         avail = jnp.minimum(avail, real_win)
@@ -902,8 +925,14 @@ class BatchDecoder:
                 if li != li_req:
                     print(f"ZSTD_TPU_CHAIN_LI={li_req} clamped to {li}",
                           flush=True)
+            # Without real-TPU pallas, chained groups run the XLA windowed
+            # executor (execute_window_xla) — the interpret-mode kernel is
+            # minutes-per-MiB on the CPU mesh. ZSTD_TPU_CHAIN_INTERP=1
+            # forces the interpret kernel (kernel-logic tests only).
+            xla_chain = (not pallas_ok and
+                         os.environ.get("ZSTD_TPU_CHAIN_INTERP", "") != "1")
             far_tot = {}
-            if far_mode:
+            if far_mode and not xla_chain:
                 # one sync: per-row far byte totals so each step's gather
                 # width comes from a small pow2 ladder (0 = no far bytes)
                 rows_fl = [r for m in bucket for r in m.rows]
@@ -952,7 +981,7 @@ class BatchDecoder:
                                                for r in live_k), 4), lo=4),
                                  lit_full.shape[1] * 4)
                         fw = 0
-                        if far_mode:
+                        if far_mode and not xla_chain:
                             mx = max((far_tot.get(r, 0) for r in live_k),
                                      default=0)
                             fw = _pow2(mx, lo=1 << 14, q=2) if mx else 0
@@ -961,7 +990,8 @@ class BatchDecoder:
                             acc, written, jnp.asarray(rows_k, jnp.int32),
                             gw=gw, lw=lw, W=W, lanes_per_step=L,
                             interpret=not pallas_ok, hist0=hist0,
-                            real_win=real_win, far_w=fw)
+                            real_win=real_win, far_w=fw,
+                            xla_mode=xla_chain)
                         okv = okv & ok_r
                 for i, m in enumerate(metas):
                     chain_pend.append((m, m.rows, (acc, i), W,

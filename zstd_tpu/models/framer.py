@@ -19,6 +19,7 @@ dictionary content) are flagged for the host oracle fallback.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -44,6 +45,11 @@ def _round_pow2(n: int, lo: int = 16) -> int:
 # analog of the reference's window-retaining drain
 # (decode_buffer.rs:182-218, SURVEY.md §5 long-context analog).
 DEVICE_FRAME_CAP = 1 << 20
+# All four caps are env-overridable so the CPU-mesh dryrun / fast tests can
+# exercise the chained + far paths at tiny shapes (interpret-mode Pallas is
+# minutes-per-MiB; the real-TPU defaults would blow any time budget there).
+# Non-default caps force the Python walk (the native walker hardcodes the
+# production caps — see _walk_native).
 # per-group caps: output upper bound and 128-aligned sequence slots (the
 # group's records must fit the exec kernel's SMEM chunking).
 # OUT_CAP leaves MAX_BLOCK_SIZE headroom below 2 MiB so a closed group's
@@ -53,14 +59,19 @@ DEVICE_FRAME_CAP = 1 << 20
 # count (~5x fewer windowed group dispatches per long frame); worst-case
 # group records (CAP - 1 + one 43K-record jumbo block) stay under the exec
 # kernel's MAX_SMEM_SEQS = 128K.
-GROUP_OUT_CAP = (1 << 21) - (1 << 17)
-GROUP_SEQ_CAP = 80 * 1024
+_DEFAULT_GROUP_OUT_CAP = (1 << 21) - (1 << 17)
+_DEFAULT_GROUP_SEQ_CAP = 80 * 1024
+GROUP_OUT_CAP = int(os.environ.get("ZSTD_TPU_GROUP_OUT_CAP",
+                                   _DEFAULT_GROUP_OUT_CAP))
+GROUP_SEQ_CAP = int(os.environ.get("ZSTD_TPU_GROUP_SEQ_CAP",
+                                   _DEFAULT_GROUP_SEQ_CAP))
 # widest window the chained exec path keeps ENTIRELY in VMEM. Bigger real
 # windows (zstd --long, window_log 24+) still decode on device: the driver
 # switches to a 4 MiB VMEM prefix + HBM-resident history with far matches
 # pre-gathered per group (pallas_execute.WINDOW_VMEM_CAP) — no host
 # fallback (frame_decoder.rs:163-178 parity at any window size).
-STREAM_WINDOW_CAP = 1 << 23
+STREAM_WINDOW_CAP = int(os.environ.get("ZSTD_TPU_STREAM_WINDOW_CAP",
+                                       1 << 23))
 
 
 @dataclasses.dataclass
@@ -173,6 +184,7 @@ class Framer:
         self.dicts = dicts or {}
         self._dict_tids = {}   # dict_id -> (huff_tid, ll, of, ml tids)
         self._std_tids = {}    # predefined/RLE table tid memo
+        self._block_cap = C.MAX_BLOCK_SIZE  # per-frame: min(window, 128K)
         self._walker = None    # native one-call frame walk (lazy)
         self._walker_failed = False
         self.huff_lanes = []   # (stream_bytes, pos, tid, nsym, frame, dst_off)
@@ -233,11 +245,14 @@ class Framer:
             # chain prediction missed (e.g. lying FCS) — the prefill only
             # reaches the window via the chained driver
             meta.fallback = True
-        if (meta.dict_prefill and meta.window > STREAM_WINDOW_CAP
-                and min(len(meta.dict_prefill), meta.window) > (1 << 22)):
-            # big-window chains use a 4 MiB VMEM prefix; a dict prefill
-            # larger than it cannot seed the accumulator preamble
-            meta.fallback = True
+        if meta.dict_prefill and meta.window > STREAM_WINDOW_CAP:
+            from zstd_tpu.ops.pallas_execute import WINDOW_VMEM_CAP
+
+            if min(len(meta.dict_prefill), meta.window) > WINDOW_VMEM_CAP:
+                # big-window chains use a VMEM prefix of WINDOW_VMEM_CAP
+                # bytes; a dict prefill larger than it cannot seed the
+                # accumulator preamble
+                meta.fallback = True
         if not meta.ok or meta.fallback:
             # strip this frame's lanes/tables/rows so a fallback frame does
             # not inflate the whole batch's widths
@@ -267,9 +282,13 @@ class Framer:
         (dictionaries, would-chain, malformed — Python is the error
         oracle). Batches are byte-identical to the Python walk
         (tests/test_native_parity.py::test_walk_matches_python)."""
-        import os as _os
-
-        if _os.environ.get("ZT_NO_NATIVE"):
+        if os.environ.get("ZT_NO_NATIVE"):
+            return False
+        if (GROUP_OUT_CAP != _DEFAULT_GROUP_OUT_CAP
+                or GROUP_SEQ_CAP != _DEFAULT_GROUP_SEQ_CAP):
+            # the native walker hardcodes the production group caps (its
+            # would-chain bailout at native.cpp zt_walk_frame) — with
+            # overridden caps the Python walk must drive the split
             return False
         if self._walker is None:
             if self._walker_failed:
@@ -407,10 +426,15 @@ class Framer:
         # copies this replaces were ~40% of prepare()
         mv = memoryview(data)
 
+        # Block_Maximum_Size = min(window, 128 KiB) (RFC 8878 §3.1.1.2.3) —
+        # also the tight decoded-size bound for compressed blocks, so
+        # small-window frames get small out_bounds (and small kernel widths)
+        self._block_cap = min(header.window_size or C.MAX_BLOCK_SIZE,
+                              C.MAX_BLOCK_SIZE)
         while True:
             bh = blocks_mod.parse_block_header(data[pos:pos + 3])
             pos += 3
-            cap = min(header.window_size or C.MAX_BLOCK_SIZE, C.MAX_BLOCK_SIZE)
+            cap = self._block_cap
             if bh.block_size > cap:
                 raise ZstdError(f"block size {bh.block_size} over cap")
             fr = self._cur
@@ -553,8 +577,8 @@ class Framer:
             n=sh.num_sequences, ll=cur_ll, of=cur_of, ml=cur_ml,
             frame=fidx, dst=dst, lit_total=block_lits, trail=trail_slot))
         # this block's decoded size (sum of ll+ml) is only known on device;
-        # the format caps it at 128 KiB for batch sizing
-        fr["out_bound"] += C.MAX_BLOCK_SIZE
+        # the format caps it at Block_Maximum_Size = min(window, 128 KiB)
+        fr["out_bound"] += self._block_cap
         return cur_huff, cur_ll, cur_of, cur_ml
 
     def _parse_huff(self, payload: bytes) -> tuple:

@@ -101,3 +101,67 @@ def execute_sequences_lanes(ll,        # (B, S) i32
     ok = ok & jnp.all(resolved | ~in_range, axis=1)
     out = jnp.where(in_range, out, 0).astype(jnp.uint8)
     return out, ok
+
+
+def execute_window_xla(ll,         # (L, S) i32 group records
+                       ml,         # (L, S) i32
+                       offset,     # (L, S) i32 resolved offsets
+                       literals,   # (L, Llit) u8 group literals
+                       out_len,    # (L,) i32 exact group lengths
+                       hist_avail,  # (L,) i32 real history bytes usable
+                       out_width: int, window: int,
+                       win=None,   # (L, window) u8 trailing history (near)
+                       acc=None,   # (L, A) u8 full accumulator (far mode)
+                       written=None):  # (L,) i32 acc cursor (far mode)
+    """Windowed group execution as pure XLA — the CPU-mesh formulation of
+    ops/pallas_execute.execute_window_pallas (same contract, same ok
+    semantics). The window history rides as ONE synthetic leading literal
+    run (ll=window bytes of `win`, ml=0), so match offsets reaching across
+    the group boundary resolve through the ordinary pointer-doubling
+    executor with no special casing — the same trick the framer uses for
+    single-row dict frames (decode_buffer.rs:143-179 analog).
+
+    Near mode (win): combined stream = [win | group]; offsets reach at most
+    pos + window by the caller's avail cap. Far mode (acc + written): the
+    synthetic run is the ENTIRE accumulator prefix [0, written), so
+    big-window offsets (real window > the pallas VMEM prefix) reach any
+    history byte directly — no far-stream pre-gather needed; returns the
+    whole advanced accumulator instead of the group slice.
+
+    Returns (group bytes (L, out_width) u8, ok) in near mode,
+    (new acc (L, A) u8, ok) in far mode.
+    """
+    L, S = ll.shape
+    run = ll + ml
+    endpos = jnp.cumsum(run, axis=1)
+    pos_before_match = endpos - ml
+    reach = pos_before_match + hist_avail[:, None]
+    off_ok = (ml == 0) | ((offset > 0) & (offset <= reach))
+    lit_need = jnp.cumsum(ll, axis=1)
+    ok = (jnp.all(off_ok, axis=1) & (endpos[:, -1] == out_len)
+          & (out_len <= out_width) & (lit_need[:, -1] <= literals.shape[1]))
+
+    zcol = jnp.zeros((L, 1), jnp.int32)
+    if acc is None:
+        base = jnp.full((L,), window, jnp.int32)
+        lit2 = jnp.concatenate([win.astype(jnp.uint8), literals], axis=1)
+        ow2 = window + out_width
+    else:
+        base = written
+        A = acc.shape[1]
+        lit2 = jnp.concatenate(
+            [acc.astype(jnp.uint8),
+             jnp.zeros((L, literals.shape[1]), jnp.uint8)], axis=1)
+        for i in range(L):
+            lit2 = jax.lax.dynamic_update_slice(
+                lit2, literals[i][None, :], (i, written[i]))
+        ow2 = A
+    ll2 = jnp.concatenate([base[:, None], ll], axis=1)
+    ml2 = jnp.concatenate([zcol, ml], axis=1)
+    of2 = jnp.concatenate([zcol, offset], axis=1)
+    out2, ok2 = execute_sequences_lanes(ll2, ml2, of2, lit2,
+                                        base + out_len, ow2)
+    ok = ok & ok2
+    if acc is None:
+        return out2[:, window:], ok
+    return out2, ok

@@ -86,7 +86,7 @@ MAX_SMEM_SEQS = 131072
 # accumulator into a compact per-lane far stream that the kernel copies
 # from like a second literal buffer (decode_buffer.rs:182-218 semantics
 # with the window in HBM instead of falling back to the host).
-WINDOW_VMEM_CAP = 1 << 22
+WINDOW_VMEM_CAP = int(os.environ.get("ZSTD_TPU_WINDOW_VMEM_CAP", 1 << 22))
 
 # ROOT CAUSE FOUND (r4, scripts/probe_lockstep.py): the r3 "multi-lane
 # lockstep corruption past ~18 MB" was an input_output_aliasing DMA race —

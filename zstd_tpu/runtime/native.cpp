@@ -2584,7 +2584,7 @@ int64_t zt_walk_frame(const uint8_t* data, int64_t len,
                 Q[9] = (int32_t)dst; Q[10] = (int32_t)block_lits;
                 Q[11] = (int32_t)trail;
                 Q[12] = (int32_t)stream_pos(c + p, cn - p); Q[13] = 0;
-                out_bound += MAX_BLOCK;
+                out_bound += cap;  // Block_Maximum_Size = min(window, 128K)
             }
         }
         if (last) break;

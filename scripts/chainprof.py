@@ -1,0 +1,166 @@
+"""Chained-path (longframe) stage attribution — the profiling the batched
+kernels got in r3/r4 but the windowed chain never did (VERDICT r4 weak #3).
+
+1. Capture real chain-step inputs:
+     mkdir -p /tmp/chain_cap
+     ZSTD_TPU_CAPTURE_CHAIN=/tmp/chain_cap python scripts/chainprof.py capture [mb]
+2. Replay phases in isolation (amortized-sync timing):
+     python scripts/chainprof.py /tmp/chain_cap
+
+Phases timed per decoded byte:
+  kernel  — execute_window_pallas alone on each step's captured inputs
+  glue    — acc window dynamic_slice + result dynamic_update_slice threading
+  unpack  — packed-literal word unpack per step
+  full    — _chain_group_step threaded exactly like run_device
+"""
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from zstd_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
+
+def capture(mb: int):
+    import zstandard
+
+    from bench import make_corpus
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    data = b"".join(make_corpus(mb, seed=3))
+    z = zstandard.ZstdCompressor(level=3, write_checksum=False).compress(data)
+    dec = BatchDecoder(verify_checksums=False)
+    batch = dec.prepare([z])
+    outputs, out_len, ok = dec.run_device(batch)
+    m = batch.metas[0]
+    r0 = m.rows[0]
+    assert bool(ok[r0]) and outputs[r0][:len(data)].tobytes() == data
+    n = len(glob.glob(os.path.join(os.environ["ZSTD_TPU_CAPTURE_CHAIN"],
+                                   "*.npz")))
+    print(f"captured {n} chain steps ({len(m.rows)} groups)")
+
+
+def _sync(x):
+    import jax.numpy as jnp
+    return int(jnp.sum(x.astype(jnp.int32)))
+
+
+def replay(cap_dir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from zstd_tpu.models.batch_decoder import (_chain_group_step,
+                                               _unpack_words)
+    from zstd_tpu.ops.pallas_execute import execute_window_pallas
+
+    files = sorted(glob.glob(os.path.join(cap_dir, "chain_*.npz")))
+    if not files:
+        print("no captures in", cap_dir)
+        return
+    steps = [dict(np.load(f)) for f in files]
+    W = int(steps[0]["W"])
+    L = int(steps[0]["L"])
+    total_b = float(sum(int(s["out_len"].sum()) for s in steps))
+    print(f"{len(steps)} steps, W={W} L={L}, {total_b/1e6:.1f} MB decoded")
+
+    dev = [dict(
+        ll=jnp.asarray(s["ll"]), ml=jnp.asarray(s["ml"]),
+        off=jnp.asarray(s["off"]), lit=jnp.asarray(s["lit"]),
+        out_len=jnp.asarray(s["out_len"]), win=jnp.asarray(s["win"]),
+        avail=jnp.asarray(s["avail"]), gw=int(s["gw"]), lw=int(s["lw"]))
+        for s in steps]
+
+    def time_phase(name, fn, reps=3):
+        fn()  # compile
+        _sync(fn())
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn()
+        _sync(r)
+        dt = (time.time() - t0) / reps
+        print(f"  {name:8s} {dt*1e3:8.1f} ms  "
+              f"({total_b/dt/1e9:.3f} GB/s-equiv)")
+        return dt
+
+    # kernel-only: every step's windowed exec, no acc threading
+    def k_all():
+        outs = None
+        for d in dev:
+            lits = _unpack_words(d["lit"])
+            outs, _ = execute_window_pallas(
+                d["ll"], d["ml"], d["off"], lits, d["out_len"], d["win"],
+                d["avail"], out_width=d["gw"], window=W,
+                lanes_per_step=L)
+        return outs
+
+    # glue-only: acc slice + update threading at the real acc width
+    accw = int(W + max(d["gw"] for d in dev)
+               + (1 << int(np.ceil(np.log2(total_b / max(L, 1) + 1)))))
+
+    @jax.jit
+    def glue_one(acc, written, out_r):
+        win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,),
+                                               (W,)) for i in range(L)])
+        for i in range(L):
+            acc = jax.lax.dynamic_update_slice(
+                acc, out_r[i][None, :], (i, written[i]))
+        return acc, written + out_r.shape[1] // 2, win
+
+    outs_fixed = {g: jnp.zeros((L, g), jnp.uint8)
+                  for g in {d["gw"] for d in dev}}
+
+    def g_all():
+        acc = jnp.zeros((L, accw), jnp.uint8)
+        written = jnp.full((L,), W, jnp.int32)
+        win = None
+        for d in dev:
+            acc, written, win = glue_one(acc, written, outs_fixed[d["gw"]])
+        return win
+
+    def u_all():
+        r = None
+        for d in dev:
+            r = _unpack_words(d["lit"])
+        return r
+
+    # full threaded chain, exactly run_device's calls
+    litw = max(d["lit"].shape[1] for d in dev)
+    lit_fulls = [jnp.pad(d["lit"], ((0, 0), (0, litw - d["lit"].shape[1])))
+                 for d in dev]
+
+    def f_all():
+        acc = jnp.zeros((L, accw), jnp.uint8)
+        written = jnp.full((L,), W, jnp.int32)
+        okv = jnp.ones((L,), bool)
+        for d, lf in zip(dev, lit_fulls):
+            rows = jnp.arange(L, dtype=jnp.int32)
+            acc, written, ok_r = _chain_group_step(
+                d["ll"], d["ml"], d["off"], lf,
+                d["out_len"], acc, written, rows,
+                gw=d["gw"], lw=d["lit"].shape[1] * 4, W=W,
+                lanes_per_step=L)
+            okv = okv & ok_r
+        return okv
+
+    t_k = time_phase("kernel", k_all)
+    t_g = time_phase("glue", g_all)
+    t_u = time_phase("unpack", u_all)
+    t_f = time_phase("full", f_all)
+    print(f"  kernel+glue+unpack = {1e3*(t_k+t_g+t_u):.1f} ms "
+          f"vs full {1e3*t_f:.1f} ms "
+          f"(dispatch/other = {1e3*(t_f-t_k-t_g-t_u):.1f} ms)")
+
+
+if __name__ == "__main__":
+    if sys.argv[1:2] == ["capture"]:
+        mb = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        capture(mb)
+    else:
+        replay(sys.argv[1] if len(sys.argv) > 1 else "/tmp/chain_cap")

@@ -971,6 +971,7 @@ class BatchDecoder:
                             if far_mode else None)
                 written = jnp.full((L,), W, jnp.int32)
                 okv = jnp.ones((L,), bool)
+                cap_chain = os.environ.get("ZSTD_TPU_CAPTURE_CHAIN")
                 with scope(f"lz77_chain_{L}x{max_len}x{W}"):
                     for k in range(max_len):
                         rows_k = [m.rows[k] if k < len(m.rows)
@@ -985,6 +986,28 @@ class BatchDecoder:
                             mx = max((far_tot.get(r, 0) for r in live_k),
                                      default=0)
                             fw = _pow2(mx, lo=1 << 14, q=2) if mx else 0
+                        if cap_chain:
+                            # dev-only: snapshot this step's resolved kernel
+                            # inputs so scripts/chainprof.py can replay the
+                            # windowed exec in isolation (PERF attribution)
+                            idx_c = jnp.asarray(rows_k, jnp.int32)
+                            win_c = jnp.stack([jax.lax.dynamic_slice(
+                                acc[i], (written[i] - W,), (W,))
+                                for i in range(L)])
+                            av_c = written - W
+                            if hist0 is not None:
+                                av_c = av_c + hist0
+                            np.savez(os.path.join(
+                                cap_chain, f"chain_{W}_{s}_{k:04d}.npz"),
+                                ll=np.asarray(ll_full[idx_c]),
+                                ml=np.asarray(ml_full[idx_c]),
+                                off=np.asarray(offsets[idx_c]),
+                                lit=np.asarray(lit_full[idx_c][:, :lw // 4]),
+                                out_len=np.asarray(out_len[idx_c]),
+                                win=np.asarray(win_c),
+                                avail=np.asarray(av_c),
+                                gw=gw, lw=lw, W=W, L=L, fw=fw,
+                                far_mode=bool(far_mode))
                         acc, written, ok_r = _chain_group_step(
                             ll_full, ml_full, offsets, lit_full, out_len,
                             acc, written, jnp.asarray(rows_k, jnp.int32),

@@ -129,6 +129,8 @@ def get_lib():
     lib.zt_compress_frame.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+    lib.zt_enc_prof_read.restype = None
+    lib.zt_enc_prof_read.argtypes = [ctypes.c_void_p]
     lib.zt_walk_frame.restype = ctypes.c_int64
     lib.zt_walk_frame.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
@@ -625,6 +627,21 @@ def compress_frame(data: bytes, window_log: int, checksum: bool,
     if r < 0:
         return None
     return out[:r].tobytes()
+
+
+def enc_prof_read():
+    """Read+reset the native encode stage profile (dev-only): ns spent in
+    {find_sequences, literal gather, lit_section, triples+seq_section}
+    since the last read."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(4, np.int64)
+    lib.zt_enc_prof_read(out.ctypes.data)
+    return {"find_ns": int(out[0]), "litgather_ns": int(out[1]),
+            "lit_section_ns": int(out[2]), "seq_section_ns": int(out[3])}
 
 
 def fse_enc_build(probs, table_log: int):

@@ -15,6 +15,7 @@
 #include <cstring>
 #include <cstddef>
 #include <cstdlib>
+#include <ctime>
 #include <algorithm>
 #include <vector>
 
@@ -2054,6 +2055,20 @@ static void enc_ws_free(ZtEncWs* ws) {
 // not pay (caller emits Raw), or <0 on internal error (caller falls back
 // to the Python path). hist/huff are mutated; the caller owns commit
 // semantics (frame_enc.py::_write_block copies, commits on emit).
+// Encode-stage profile accumulators (ns), read+reset via zt_enc_prof_read.
+// Two clock_gettime calls per stage per 128 KiB block — noise-level cost.
+static int64_t g_enc_prof[4];
+
+static inline int64_t enc_now_ns() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
+void zt_enc_prof_read(int64_t* out4) {
+    for (int i = 0; i < 4; i++) { out4[i] = g_enc_prof[i]; g_enc_prof[i] = 0; }
+}
+
 static int64_t compress_block_c(const uint8_t* buf, int64_t base,
                                 int64_t lo, int64_t hi,
                                 int32_t* table, int64_t max_off,
@@ -2062,9 +2077,11 @@ static int64_t compress_block_c(const uint8_t* buf, int64_t base,
     int32_t* ll = ws->recs;
     int32_t* off = ws->recs + ws->rec_cap;
     int32_t* ml = ws->recs + 2 * ws->rec_cap;
+    int64_t t0 = enc_now_ns();
     int64_t nrec = zt_find_sequences(buf, base, lo, hi, ll, off, ml,
                                      ws->rec_cap, table, max_off);
     if (nrec < 0) return -2;
+    int64_t t1 = enc_now_ns();
     // literals: the non-matched spans in order
     const uint8_t* block = buf + (lo - base);
     int64_t lp = 0, pos = 0;
@@ -2073,14 +2090,21 @@ static int64_t compress_block_c(const uint8_t* buf, int64_t base,
         lp += ll[i];
         pos += ll[i] + ml[i];
     }
+    int64_t t2 = enc_now_ns();
     ZtOutBuf o = {ws->blockout, ws->block_cap, 0};
     if (lit_section(ws->lits, lp, &o, huff, ws->scratch, ws->scratch_cap) < 0)
         return -3;
+    int64_t t3 = enc_now_ns();
     int32_t* tll = ws->recs + 3 * ws->rec_cap;
     int32_t* tml = ws->recs + 4 * ws->rec_cap;
     int32_t* tofv = ws->recs + 5 * ws->rec_cap;
     int64_t m = zt_make_triples(ll, off, ml, nrec, hist, 1, tll, tml, tofv);
     if (seq_section(tll, tml, tofv, m, &o, ws->cscratch) < 0) return -4;
+    int64_t t4 = enc_now_ns();
+    g_enc_prof[0] += t1 - t0;
+    g_enc_prof[1] += t2 - t1;
+    g_enc_prof[2] += t3 - t2;
+    g_enc_prof[3] += t4 - t3;
     if (o.len >= n) return 0;  // does not pay; Raw block
     return o.len;
 }

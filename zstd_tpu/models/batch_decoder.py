@@ -392,7 +392,8 @@ def _far_gather(acc, mlf, fend, src0, Fw: int):
 
 @functools.partial(jax.jit, static_argnames=("gw", "lw", "W",
                                              "lanes_per_step", "interpret",
-                                             "far_w", "xla_mode"))
+                                             "far_w", "xla_mode"),
+                   donate_argnames=("acc",))
 def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
                       acc, written, rows, gw: int, lw: int, W: int,
                       lanes_per_step: int = 1, interpret: bool = False,

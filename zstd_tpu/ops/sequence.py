@@ -126,39 +126,148 @@ def decode_sequence_lanes(streams_u8,   # (B, L) u8
     return ll.T, ml.T, ofv.T, ok
 
 
+def _rec_symbols(ll, ofv, is_real):
+    """Per-record symbolic output + history transition — DATA-PARALLEL.
+
+    Every record's effect is expressible relative to its own incoming
+    repcode history as a symbol (t, v): value = hist[t] - v for t in 0..2,
+    or the constant v at t == 3; and its history transition as three such
+    symbols (the new slot contents). No scan carry is needed to build
+    them, which is what makes the chunked prefix composition below work.
+
+    Returns (o_t, o_v) (B,S) record outputs and (tt, tv) (B,S,3) slot
+    transitions.
+    """
+    idx = jnp.where(ll == 0, ofv + 1, ofv)
+    is_lit = ofv > 3
+    o_t = jnp.where(~is_real | is_lit, 3,
+                    jnp.where(idx == 2, 1, jnp.where(idx == 3, 2, 0)))
+    o_v = jnp.where(~is_real, ofv,
+                    jnp.where(is_lit, ofv - 3,
+                              jnp.where(idx >= 4, 1, 0)))
+    shift = is_real & (is_lit | (idx >= 2))
+    shift2 = is_real & (is_lit | (idx >= 3))
+    zero = jnp.zeros_like(o_t)
+    t1 = jnp.where(shift, o_t, zero)
+    v1 = jnp.where(shift, o_v, zero)
+    t2 = jnp.where(shift, zero, zero + 1)
+    t3 = jnp.where(shift2, zero + 1, zero + 2)
+    # slots stay SEPARATE arrays: a trailing size-3 axis pads its vreg
+    # minor dim 3->128 on TPU (~42x memory/compute bloat — measured as a
+    # 27x batched-decode regression when these rode a (..., 3) layout)
+    return o_t, o_v, (t1, t2, t3, v1, zero, zero)
+
+
+def _sel3(x0, x1, x2, tag):
+    """Pick among three same-shape arrays by per-element tag (0..2)."""
+    return jnp.where(tag == 0, x0, jnp.where(tag == 1, x1, x2))
+
+
+def _compose_sym(a, b):
+    """Compose history transforms: (a then b). Each transform is a 6-tuple
+    (t1, t2, t3, v1, v2, v3) of same-shape arrays; slot s means
+    hist_out[s] = hist_in[t_s] - v_s for t_s in 0..2, const v_s at 3."""
+    at1, at2, at3, av1, av2, av3 = a
+    out = []
+    for bt, bv in zip(b[0:3], b[3:6]):
+        bc = jnp.clip(bt, 0, 2)
+        ts = _sel3(at1, at2, at3, bc)
+        vs = _sel3(av1, av2, av3, bc)
+        ct = jnp.where(bt == 3, 3, ts)
+        cv = jnp.where(bt == 3, bv, jnp.where(ts == 3, vs - bv, vs + bv))
+        out.append((ct, cv))
+    return (out[0][0], out[1][0], out[2][0],
+            out[0][1], out[1][1], out[2][1])
+
+
+def _prefix_compose(ll, ofv, is_real):
+    """Chunked symbolic prefix composition over the sequence-slot axis.
+
+    The old formulation was one lax.scan over all S slots (~1 us/step of
+    XLA dispatch: 30+ ms at S = 32K — the whole 'resolve' stage budget,
+    r5 measured). Transitions compose associatively, so: an inner K-step
+    scan runs VECTORIZED across all S/K chunks at once, a short cross-
+    chunk scan composes chunk totals, and each record's full prefix is
+    one extra compose — K + S/K sequential steps instead of S.
+
+    Returns per-record (tag, val) RELATIVE TO THE ROW START (B, S) and
+    the row-total transition (B, 3) x2.
+    """
+    B, S = ll.shape
+    # C (chunk count) is the minor dim after chunking — keep it >= 128 so
+    # vregs stay full (a minor dim below 128 pads away compute); K (steps
+    # per chunk) grows with S past 16K so sequential steps stay ~K + C
+    C = 128
+    while C * C < S:
+        C *= 2
+    K = max(1, -(-S // C))
+    pad = K * C - S
+    if pad:
+        # identity padding: is_real False, ofv 0 records do not touch the
+        # history and emit const symbols that nothing reads
+        ll = jnp.pad(ll, ((0, 0), (0, pad)))
+        ofv = jnp.pad(ofv, ((0, 0), (0, pad)))
+        is_real = jnp.pad(is_real, ((0, 0), (0, pad)))
+    Sp = S + pad
+    o_t, o_v, trans = _rec_symbols(ll, ofv, is_real)
+
+    def ckq(x):  # (B, Sp) -> (K, B, C): chunk the slot axis, K leading
+        return x.reshape(B, C, K).transpose(2, 0, 1)
+
+    xs = tuple(ckq(t) for t in trans)
+    zero = jnp.zeros((B, C), jnp.int32)
+    ident = (zero, zero + 1, zero + 2, zero, zero, zero)
+
+    def step(carry, x):
+        return _compose_sym(carry, x), carry  # emit prefix BEFORE record
+
+    tot, pfx = jax.lax.scan(step, ident, xs)
+
+    ztot = jnp.zeros((B,), jnp.int32)
+    ident_r = (ztot, ztot + 1, ztot + 2, ztot, ztot, ztot)
+
+    row_tot, cpfx = jax.lax.scan(
+        step, ident_r, tuple(t.transpose(1, 0) for t in tot))
+    # full prefix before record = (chunk prefix) then (in-chunk prefix)
+    cpfx_b = tuple(t.transpose(1, 0)[None] for t in cpfx)  # (1, B, C)
+    ft1, ft2, ft3, fv1, fv2, fv3 = _compose_sym(cpfx_b, pfx)
+    # record output relative to row start: prefix applied to its symbol
+    oc = jnp.clip(ckq(o_t), 0, 2)
+    ots = _sel3(ft1, ft2, ft3, oc)
+    ovs = _sel3(fv1, fv2, fv3, oc)
+    o_tr = ckq(o_t)
+    o_vr = ckq(o_v)
+    tag = jnp.where((o_tr == 3) | (ots == 3), 3, ots)
+    val = jnp.where(o_tr == 3, o_vr,
+                    jnp.where(ots == 3, ovs - o_vr, ovs + o_vr))
+    tag = tag.transpose(1, 2, 0).reshape(B, Sp)[:, :S]
+    val = val.transpose(1, 2, 0).reshape(B, Sp)[:, :S]
+    row_t = jnp.stack(row_tot[0:3], axis=-1)
+    row_v = jnp.stack(row_tot[3:6], axis=-1)
+    return tag, val, row_t, row_v
+
+
 @functools.partial(jax.jit, static_argnames=())
 def resolve_offsets(ll,        # (B, S) i32 literal lengths per sequence
                     ofv,       # (B, S) i32 raw offset values (of_value)
                     is_real,   # (B, S) bool: real sequence (repcode rules)
                     init_hist,  # (B, 3) i32 initial repeat offsets
                     ):
-    """Vectorized repeat-offset history scan across frame lanes.
+    """Vectorized repeat-offset resolution across frame lanes.
 
     Synthetic sequences (is_real False — RLE blocks, raw blocks, trailing
     literal runs) carry pre-resolved offsets in `ofv` and do not touch the
-    history. Returns (offsets (B, S) i32, ok (B, S) bool).
-    """
-    def step(hist, xs):
-        llv, of_value, real = xs
-        r1, r2, r3 = hist[:, 0], hist[:, 1], hist[:, 2]
-        idx = jnp.where(llv == 0, of_value + 1, of_value)
-        rep_offset = jnp.where(idx == 1, r1,
-                       jnp.where(idx == 2, r2,
-                         jnp.where(idx == 3, r3, jnp.maximum(r1 - 1, 0))))
-        new_off = jnp.where(of_value > 3, of_value - 3, rep_offset)
-        ok = ~real | (new_off > 0)
-        # history update
-        shift2 = (of_value > 3) | (idx >= 3)   # full shift: [new, r1, r2]
-        shift1 = idx == 2                      # swap: [r2, r1, r3]
-        n1 = jnp.where(real & (shift2 | shift1), new_off, r1)
-        n2 = jnp.where(real & (shift2 | shift1), r1, r2)
-        n3 = jnp.where(real & shift2, r2, r3)
-        new_hist = jnp.stack([n1, n2, n3], axis=1)
-        return new_hist, (jnp.where(real, new_off, of_value), ok)
+    history. Returns (offsets (B, S) i32, ok (B,) bool).
 
-    _, (offsets, ok) = jax.lax.scan(
-        step, init_hist, (ll.T, ofv.T, is_real.T))
-    return offsets.T, jnp.all(ok, axis=0)
+    Note (parity): the reference's "repcode1 - 1" zero-clamp
+    (sequence_execution.rs:90) is not applied — a clamped offset is 0,
+    which the ok check flags invalid either way, so lanes only diverge
+    after they are already poisoned.
+    """
+    tag, val, _, _ = _prefix_compose(ll, ofv, is_real)
+    offsets = apply_hist(tag, val, init_hist)
+    ok = ~is_real | (offsets > 0)
+    return offsets, jnp.all(ok, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -172,55 +281,26 @@ def resolve_offsets_symbolic(ll,       # (B, S) i32
     history threads sequentially through all groups, but each resolved
     offset is always either a constant or `init_hist[tag] - delta` of the
     group's incoming history — the transition family {const, pick-and-
-    decrement, permute} is closed under composition. So every group scans
-    independently here, and the cheap per-chain composition + fixup happens
-    in apply_hist/compose_hist. Matches resolve_offsets semantics except
-    the r1-1 zero-clamp (sequence_execution.rs:90): a clamped offset is 0,
-    which fixup flags invalid anyway, so lanes only diverge after they are
-    already poisoned.
+    decrement, permute} is closed under composition. So every group
+    resolves independently here (chunked prefix composition — see
+    _prefix_compose), and the cheap per-chain composition + fixup happens
+    in apply_hist/compose_hist.
 
     Returns (tag (B,S) i32 0..2 = init slot | 3 = const,
              val (B,S) i32 (delta for slots, value for consts),
              trans_tag (B,3), trans_val (B,3): the group's final history as
              a function of its incoming history).
     """
-    def step(hist, xs):
-        llv, of_value, real = xs
-        t1, t2, t3 = hist[:, 0], hist[:, 1], hist[:, 2]
-        v1, v2, v3 = hist[:, 3], hist[:, 4], hist[:, 5]
-        idx = jnp.where(llv == 0, of_value + 1, of_value)
-        sel_t = jnp.where(idx == 2, t2, jnp.where(idx == 3, t3, t1))
-        # "repcode1 - 1": slot deltas grow (+1), const values shrink (-1)
-        dec1 = jnp.where(t1 == 3, v1 - 1, v1 + 1)
-        sel_v = jnp.where(idx == 2, v2,
-                          jnp.where(idx == 3, v3,
-                                    jnp.where(idx >= 4, dec1, v1)))
-        is_lit = of_value > 3
-        out_t = jnp.where(real & ~is_lit, sel_t, 3)
-        out_v = jnp.where(real, jnp.where(is_lit, of_value - 3, sel_v),
-                          of_value)
-        shift = real & (is_lit | (idx >= 2))
-        shift2 = real & (is_lit | (idx >= 3))
-        n1t = jnp.where(shift, out_t, t1)
-        n1v = jnp.where(shift, out_v, v1)
-        n2t = jnp.where(shift, t1, t2)
-        n2v = jnp.where(shift, v1, v2)
-        n3t = jnp.where(shift2, t2, t3)
-        n3v = jnp.where(shift2, v2, v3)
-        new_hist = jnp.stack([n1t, n2t, n3t, n1v, n2v, n3v], axis=1)
-        return new_hist, (out_t, out_v)
-
-    B = ll.shape[0]
-    init = jnp.tile(jnp.array([0, 1, 2, 0, 0, 0], jnp.int32), (B, 1))
-    fin, (tag, val) = jax.lax.scan(
-        step, init, (ll.T, ofv.T, is_real.T))
-    return (tag.T, val.T, fin[:, 0:3], fin[:, 3:6])
+    return _prefix_compose(ll, ofv, is_real)
 
 
 def apply_hist(tag, val, hist):
     """Concrete values for symbolic (tag, val) rows given the incoming
-    history `hist` (..., 3): hist[tag] - val, or val when tag == 3."""
-    picked = jnp.take_along_axis(hist, jnp.minimum(tag, 2), axis=-1)
+    history `hist` (..., 3): hist[tag] - val, or val when tag == 3.
+    Where-selects, not take_along_axis: minor-dim gathers run at
+    ~68 M elem/s on TPU (PERF.md) while selects vectorize fully."""
+    picked = jnp.where(tag == 0, hist[..., 0:1],
+                       jnp.where(tag == 1, hist[..., 1:2], hist[..., 2:3]))
     return jnp.where(tag == 3, val, picked - val)
 
 

@@ -390,7 +390,7 @@ def _far_gather(acc, mlf, fend, src0, Fw: int):
     return jnp.stack(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("gw", "lw", "W",
+@functools.partial(jax.jit, static_argnames=("gw", "lw", "W", "s_w",
                                              "lanes_per_step", "interpret",
                                              "far_w", "xla_mode"),
                    donate_argnames=("acc",))
@@ -398,7 +398,7 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
                       acc, written, rows, gw: int, lw: int, W: int,
                       lanes_per_step: int = 1, interpret: bool = False,
                       hist0=None, real_win=None, far_w: int = 0,
-                      xla_mode: bool = False):
+                      xla_mode: bool = False, s_w: int = 0):
     """Execute step-k block groups of L chained frames in LOCKSTEP: gather
     the group rows, window each frame's accumulator, run the aliased
     multi-lane exec kernel, append per lane. Lanes of finished chains point
@@ -413,6 +413,16 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
     are pre-gathered from the accumulator into a (L, far_w) stream the
     kernel copies from (see pallas_execute.WINDOW_VMEM_CAP)."""
     L = rows.shape[0]
+    # slice records to the step's live slot span (host-known ladder of the
+    # framer's per-group slot counts): inert pad slots past the span cost
+    # full kernel issue — r5 measured ~60% of longframe chain-step time
+    ll_g = ll_full[rows]
+    ml_g = ml_full[rows]
+    of_g = offsets[rows]
+    if s_w and s_w < ll_g.shape[1]:
+        ll_g = ll_g[:, :s_w]
+        ml_g = ml_g[:, :s_w]
+        of_g = of_g[:, :s_w]
     lits = _unpack_words(lit_full[rows][:, :lw // 4])
     olen = out_len_all[rows]
     avail = written - W
@@ -428,13 +438,13 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
         if real_win is not None:
             avail = jnp.minimum(avail, real_win)
             acc_new, ok_r = execute_window_xla(
-                ll_full[rows], ml_full[rows], offsets[rows], lits, olen,
+                ll_g, ml_g, of_g, lits, olen,
                 avail, out_width=gw, window=W, acc=acc, written=written)
             return acc_new, written + olen, ok_r
         win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,),
                                                (W,)) for i in range(L)])
         out_r, ok_r = execute_window_xla(
-            ll_full[rows], ml_full[rows], offsets[rows], lits, olen,
+            ll_g, ml_g, of_g, lits, olen,
             jnp.minimum(avail, W), out_width=gw, window=W, win=win)
         for i in range(L):
             acc = jax.lax.dynamic_update_slice(acc, out_r[i][None, :],
@@ -446,7 +456,7 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
     if real_win is not None:
         avail = jnp.minimum(avail, real_win)
         mlf, fend, fsb, src0 = _far_prep(
-            ll_full[rows], ml_full[rows], offsets[rows], written, W=W)
+            ll_g, ml_g, of_g, written, W=W)
         if far_w:
             far_bytes = _far_gather(acc, mlf, fend, src0, Fw=far_w)
         else:
@@ -454,7 +464,7 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
             # a 128-byte stub keeps the kernel's far plumbing shape-stable
             far_bytes = jnp.zeros((L, 128), jnp.uint8)
     out_r, ok_r = execute_window_pallas(
-        ll_full[rows], ml_full[rows], offsets[rows], lits, olen, win,
+        ll_g, ml_g, of_g, lits, olen, win,
         avail, out_width=gw, window=W,
         lanes_per_step=lanes_per_step, interpret=interpret,
         far_bytes=far_bytes, fsb=fsb)
@@ -469,6 +479,97 @@ def _unpack_words(w):
     parts = jnp.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255,
                        (w >> 24) & 255], axis=-1)
     return parts.reshape(w.shape[0], -1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("gws", "lws", "s_ws", "W",
+                                             "lanes_per_step", "interpret",
+                                             "far_w"),
+                   donate_argnames=("acc",))
+def _chain_super_step(ll_full, ml_full, offsets, lit_full, out_len_all,
+                      acc, written, rows,  # rows (L, Kg) i32
+                      gws: tuple, lws: tuple, s_ws: tuple, W: int,
+                      lanes_per_step: int = 1, interpret: bool = False,
+                      hist0=None, real_win=None, far_w: int = 0):
+    """Execute Kg CONSECUTIVE block groups of L chained frames in ONE
+    windowed-exec call (the r5 super-group redesign).
+
+    Per-group calls paid the full window init copy + (window + group) HBM
+    writeback + kernel dispatch EVERY step (~60% of longframe chain time,
+    r5 chainprof). Concatenating the groups' records per lane makes the
+    multi-group call IDENTICAL to one bigger group for output cursors
+    (cumsum of runs is contiguous across groups by construction) and for
+    offset validation (reach = pos + avail-at-call-start grows with pos,
+    exactly the per-group semantics). Only literal cursors need care:
+    group literal blocks concatenate at static offsets sum(lws[:k]), and
+    `lit_seg` maps each record's plain cumsum cursor into its segment
+    (execute_window_pallas applies it). Far-match classification
+    (off > pos + W with pos from call start) automatically treats
+    same-call earlier groups as near — they are in the out block.
+    """
+    L, Kg = rows.shape
+    ll_p = []
+    ml_p = []
+    of_p = []
+    seg_p = []
+    lit_p = []
+    boundaries = []
+    lit_base = 0
+    for k in range(Kg):
+        rk = rows[:, k]
+        ll_k = ll_full[rk][:, :s_ws[k]]
+        ll_p.append(ll_k)
+        ml_p.append(ml_full[rk][:, :s_ws[k]])
+        of_p.append(offsets[rk][:, :s_ws[k]])
+        seg_p.append(jnp.full((L, s_ws[k]), lit_base, jnp.int32))
+        lit_p.append(_unpack_words(lit_full[rk][:, :lws[k] // 4]))
+        boundaries.append(lit_base)
+        lit_base += lws[k]
+    ll_cat = jnp.concatenate(ll_p, axis=1)
+    ml_cat = jnp.concatenate(ml_p, axis=1)
+    of_cat = jnp.concatenate(of_p, axis=1)
+    lits = jnp.concatenate(lit_p, axis=1)
+    # lit_seg: segment base minus the cumsum of ll BEFORE the group, so
+    # cumsum-cursor + lit_seg = segment-local cursor + segment base
+    cum = jnp.cumsum(ll_cat, axis=1)
+    seg = jnp.concatenate(seg_p, axis=1)
+    pos0 = 0
+    seg_ok = jnp.ones((L,), bool)
+    for k in range(Kg):
+        if k:
+            start_cum = cum[:, pos0 - 1]
+            seg = seg.at[:, pos0:pos0 + s_ws[k]].add(-start_cum[:, None])
+        end_cum = cum[:, pos0 + s_ws[k] - 1]
+        start = cum[:, pos0 - 1] if k else jnp.zeros((L,), jnp.int32)
+        # each group's literals must fit its own segment (the global
+        # cumsum check inside the kernel is weaker for segmented blocks)
+        seg_ok = seg_ok & ((end_cum - start) <= lws[k])
+        pos0 += s_ws[k]
+    olen = jnp.zeros((L,), jnp.int32)
+    for k in range(Kg):
+        olen = olen + out_len_all[rows[:, k]]
+    avail = written - W
+    if hist0 is not None:
+        avail = avail + hist0
+    win = jnp.stack([jax.lax.dynamic_slice(acc[i], (written[i] - W,), (W,))
+                     for i in range(L)])
+    far_bytes = fsb = None
+    if real_win is not None:
+        avail = jnp.minimum(avail, real_win)
+        mlf, fend, fsb, src0 = _far_prep(ll_cat, ml_cat, of_cat,
+                                         written, W=W)
+        if far_w:
+            far_bytes = _far_gather(acc, mlf, fend, src0, Fw=far_w)
+        else:
+            far_bytes = jnp.zeros((L, 128), jnp.uint8)
+    out_r, ok_r = execute_window_pallas(
+        ll_cat, ml_cat, of_cat, lits, olen, win, avail,
+        out_width=sum(gws), window=W,
+        lanes_per_step=lanes_per_step, interpret=interpret,
+        far_bytes=far_bytes, fsb=fsb, lit_seg=seg)
+    for i in range(L):
+        acc = jax.lax.dynamic_update_slice(acc, out_r[i][None, :],
+                                           (i, written[i]))
+    return acc, written + olen, ok_r & seg_ok
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -882,13 +983,46 @@ class BatchDecoder:
             by_w.setdefault(key, []).append(m)
         from zstd_tpu.ops.pallas_execute import _NOALIAS as _WEXEC_NOALIAS
         li_max = int(os.environ.get("ZSTD_TPU_CHAIN_LI_MAX", "4"))
+        # ONE device sync for the chains' exact output/sequence counts
+        # (cached on the batch): per-group host bounds are ~4x loose
+        # (15 blocks x 128 KiB spec bound vs ~0.4 MiB actual, r5 measured),
+        # which quadruples out-block writeback, blocks super-group packing,
+        # and halves the lockstep width. Production pays this once per
+        # batch; bench warmup absorbs it.
+        _xla_chain_g = (not pallas_ok and
+                        os.environ.get("ZSTD_TPU_CHAIN_INTERP", "") != "1")
+        exact_cache = getattr(batch, "_chain_exact", None)
+        if (chain_live and exact_cache is None and not _xla_chain_g
+                and not os.environ.get("ZSTD_TPU_CAPTURE_CHAIN")):
+            rows_all = [r for m in chain_live for r in m.rows]
+            idxs = jnp.asarray(rows_all, jnp.int32)
+            both = np.asarray(jnp.concatenate([out_len[idxs], nseq[idxs]]))
+            nr = len(rows_all)
+            exact_cache = {r: (int(both[i]), int(both[nr + i]))
+                           for i, r in enumerate(rows_all)}
+            batch._chain_exact = exact_cache
+
+        def exact_len(r):
+            # clamp to the spec bound: a malformed frame's garbage records
+            # can sum to anything (the kernel's endpos==out_len check flags
+            # the lane; the clamp just keeps VMEM plans sane)
+            if exact_cache is not None and r in exact_cache:
+                return max(min(int(exact_cache[r][0]), int(bound_h[r])), 1)
+            return max(int(bound_h[r]), 1)
+
+        def exact_ns(r):
+            if exact_cache is not None and r in exact_cache:
+                return max(min(int(exact_cache[r][1]),
+                               int(nseq_bound[r])), 1)
+            return max(int(nseq_bound[r]), 1)
+
         for (W, far_mode), bucket in sorted(by_w.items()):
             # lane-group width under the scoped-VMEM budget at the bucket's
             # WORST-case step shapes: the kernel holds the (window+group)
             # out block + the window-rows init block + the literal block
             # per lane (the aliased dev-probe mode holds the out block
             # twice) — mirrors execute_window_pallas's own clamp
-            gw_all = _pow2(max(int(bound_h[r])
+            gw_all = _pow2(max(exact_len(r)
                                for m in bucket for r in m.rows))
             lw_all = min(_pow2(max(max(int(lit_len_h[r])
                                        for m in bucket for r in m.rows), 4),
@@ -943,14 +1077,70 @@ class BatchDecoder:
                     offsets[jnp.asarray(idxf)], W=W))
                 far_tot = {r: int(t)
                            for r, t in zip(rows_fl, tots_h[:len(rows_fl)])}
+            use_super = (exact_cache is not None and not xla_chain
+                         and not os.environ.get("ZSTD_TPU_CAPTURE_CHAIN"))
+
             for s in range(0, len(bucket), li):
                 metas = bucket[s:s + li]
                 L = len(metas)
                 max_len = max(len(m.rows) for m in metas)
-                gw_max = _pow2(max(int(bound_h[r])
+                gw_max = _pow2(max(exact_len(r)
                                    for m in metas for r in m.rows))
-                accw = (W + gw_max
-                        + max(_pow2(sum(int(bound_h[r]) for r in m.rows))
+
+                # --- super-group packing (host-side, exact sizes) -------
+                # consecutive steps fuse into one windowed-exec call while
+                # the concatenated records / out block / literal block fit
+                # the sequence cap and the scoped-VMEM budget; per-group
+                # calls paid window-init + full writeback EVERY step
+                supers = []
+                if use_super:
+                    _wrows_c = 3 + W // 128
+                    k0 = 0
+                    while k0 < max_len:
+                        gws = []
+                        lws = []
+                        sws = []
+                        fws = []
+                        while k0 + len(gws) < max_len:
+                            kk = k0 + len(gws)
+                            live = [m.rows[kk] for m in metas
+                                    if kk < len(m.rows)]
+                            gw = _pow2(max(max(exact_len(r)
+                                               for r in live), 512),
+                                       lo=512, q=2)
+                            lw = min(_pow2(max(max(int(lit_len_h[r])
+                                                   for r in live), 4),
+                                           lo=4),
+                                     lit_full.shape[1] * 4)
+                            sw = min(_pow2(max(max(exact_ns(r)
+                                                   for r in live), 128),
+                                           lo=128, q=2),
+                                     ll_full.shape[1])
+                            fb = (max((far_tot.get(r, 0) for r in live),
+                                      default=0) if far_mode else 0)
+                            n_gw = sum(gws) + gw
+                            n_lw = sum(lws) + lw
+                            n_fw = sum(fws) + fb
+                            rows_c = (_wrows_c
+                                      + (3 + W // 128 + n_gw // 128 + 10)
+                                      + (3 + (n_lw + 127) // 128 + 10)
+                                      + (1 + (n_fw + 127) // 128 + 10
+                                         if far_mode else 0))
+                            if gws and (sum(sws) + sw > MAX_SMEM_SEQS
+                                        or L * rows_c * 512 > (80 << 20)):
+                                break
+                            gws.append(gw)
+                            lws.append(lw)
+                            sws.append(sw)
+                            fws.append(fb)
+                        supers.append((k0, tuple(gws), tuple(lws),
+                                       tuple(sws), sum(fws)))
+                        k0 += len(gws)
+
+                over = max((sum(g) for (_, g, _, _, _) in supers),
+                           default=gw_max)
+                accw = (W + max(over, gw_max)
+                        + max(_pow2(sum(exact_len(r) for r in m.rows))
                               for m in metas))
                 # dictionary prefill: seed the window tail with the dict
                 # content so group-0 matches reach it (hist0 marks it real)
@@ -973,6 +1163,31 @@ class BatchDecoder:
                 written = jnp.full((L,), W, jnp.int32)
                 okv = jnp.ones((L,), bool)
                 cap_chain = os.environ.get("ZSTD_TPU_CAPTURE_CHAIN")
+                if use_super:
+                    with scope(f"lz77_superchain_{L}x{len(supers)}x{W}"):
+                        for (k0, gws, lws, sws, fbytes) in supers:
+                            Kg = len(gws)
+                            rows_mat = np.full((L, Kg), frame_inert,
+                                               np.int32)
+                            for i, m in enumerate(metas):
+                                for j in range(Kg):
+                                    if k0 + j < len(m.rows):
+                                        rows_mat[i, j] = m.rows[k0 + j]
+                            fw = (_pow2(fbytes, lo=1 << 14, q=2)
+                                  if (far_mode and fbytes) else 0)
+                            acc, written, ok_r = _chain_super_step(
+                                ll_full, ml_full, offsets, lit_full,
+                                out_len, acc, written,
+                                jnp.asarray(rows_mat),
+                                gws=gws, lws=lws, s_ws=sws, W=W,
+                                lanes_per_step=L,
+                                interpret=not pallas_ok, hist0=hist0,
+                                real_win=real_win, far_w=fw)
+                            okv = okv & ok_r
+                    for i, m in enumerate(metas):
+                        chain_pend.append((m, m.rows, (acc, i), W,
+                                           written[i], okv[i]))
+                    continue
                 with scope(f"lz77_chain_{L}x{max_len}x{W}"):
                     for k in range(max_len):
                         rows_k = [m.rows[k] if k < len(m.rows)
@@ -982,6 +1197,10 @@ class BatchDecoder:
                         lw = min(_pow2(max(max(int(lit_len_h[r])
                                                for r in live_k), 4), lo=4),
                                  lit_full.shape[1] * 4)
+                        s_w = min(_pow2(max(max(int(nseq_bound[r])
+                                                for r in live_k), 512),
+                                        lo=512, q=2),
+                                  ll_full.shape[1])
                         fw = 0
                         if far_mode and not xla_chain:
                             mx = max((far_tot.get(r, 0) for r in live_k),
@@ -1015,7 +1234,7 @@ class BatchDecoder:
                             gw=gw, lw=lw, W=W, lanes_per_step=L,
                             interpret=not pallas_ok, hist0=hist0,
                             real_win=real_win, far_w=fw,
-                            xla_mode=xla_chain)
+                            xla_mode=xla_chain, s_w=s_w)
                         okv = okv & ok_r
                 for i, m in enumerate(metas):
                     chain_pend.append((m, m.rows, (acc, i), W,

@@ -806,7 +806,8 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
                           lanes_per_step: int = 1,
                           interpret: bool = False,
                           far_bytes=None,    # (L, Fw) u8 pre-gathered far src
-                          fsb=None):         # (L, S) i32 far cursor, -1=near
+                          fsb=None,          # (L, S) i32 far cursor, -1=near
+                          lit_seg=None):     # (L, S) i32 literal-cursor addend
     """Execute one block group each of L chained (streamed) frames.
 
     Each lane is one frame's next block group: the previous output's
@@ -824,6 +825,13 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     `far_bytes`, a compact stream the caller pre-gathered from its HBM
     accumulator; `fsb` holds each record's byte cursor into it (-1 for
     near records). See WINDOW_VMEM_CAP.
+
+    lit_seg (super-group calls): when one call executes SEVERAL
+    consecutive block groups whose literal blocks are concatenated at
+    static per-group offsets, `lit_seg[r]` holds the addend mapping
+    record r's plain cumsum literal cursor to its group's segment base
+    (batch_decoder._chain_super_step builds it). Output positions need no
+    such addend — group outputs are contiguous by construction.
     Returns (group bytes (L, out_width) u8, ok (L,) bool).
     """
     global _RMW
@@ -865,6 +873,8 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         if far_bytes is not None:
             far_bytes = jnp.pad(far_bytes, ((0, pad), (0, 0)))
             fsb = jnp.pad(fsb, ((0, pad), (0, 0)), constant_values=-1)
+        if lit_seg is not None:
+            lit_seg = jnp.pad(lit_seg, ((0, pad), (0, 0)))
     L = ll.shape[0]
     lit_w = literals.shape[1]
     PAD = _FR * 128
@@ -912,6 +922,8 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
     base = PAD + window
     opv = endpos - run + base
     lpv = lit_need - ll + PAD
+    if lit_seg is not None:
+        lpv = lpv + lit_seg
     span_max = 128 * (_FR - 1)
     fits = ((opv & 127) + run) <= span_max
     disjoint = (ml == 0) | (offset >= run)

@@ -397,6 +397,14 @@ def _fused_split(lit_ref, out_ref, lane, lp, op, ll, ml, off, ok,
         _st(out_ref, lane, rd, _FR, lval, (d4 >= opa) & (d4 < opma))
 
 
+def _nullgate():
+    """Identity decorator standing in for pl.when when no gate applies."""
+    def deco(fn):
+        fn()
+        return fn
+    return deco
+
+
 def _iota_consts():
     """Loop-invariant iotas (the (2,128,128) one-hot iota is ~32 vregs —
     rebuilding it per sequence is pure waste)."""
@@ -591,7 +599,8 @@ def _pre_words(ll, ml, offset, opv, lpv, common, slow,
 
 def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                  out_ref, *scratch, lit_rows: int, out_rows: int, L: int = _L,
-                 fsb_ref=None, far_ref=None, far_rows: int = 0, G: int = 1):
+                 fsb_ref=None, far_ref=None, far_rows: int = 0, G: int = 1,
+                 skip_inert: bool = False):
     """G > 1 (windowed kernel): each iteration is a ROUND of G consecutive
     records per lane — intra-lane ILP for low lane counts (a single chained
     frame runs Li=1; without rounds its dependent chain leaves the issue
@@ -636,46 +645,71 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
         if _ABLATE == "body":
             return carry
 
-        # branchless fused path for all lanes/round members first (their
-        # chains are independent — interleaved issue hides load latency)
-        if _ABLATE != "fused":
-            if _PHASED and not _SPLIT:
-                blks = [_fused_loads(lit_ref, out_ref, j, lp, op, off,
-                                     lit_rows, out_rows)
-                        for j, op, lp, ll, ml, off, active, common, ii
-                        in recs]
-                for (j, op, lp, ll, ml, off, active, common, ii), (lb, mb) \
-                        in zip(recs, blks):
-                    _fused_finish(out_ref, j, lb, mb, lp, op, ll, ml, off,
-                                  common, consts4, sink_ref=sink_ref)
-            else:
-                for j, op, lp, ll, ml, off, active, common, ii in recs:
-                    if _SPLIT:
-                        _fused_split(lit_ref, out_ref, j, lp, op, ll, ml,
-                                     off, common, lit_rows, out_rows,
-                                     consts4)
-                    else:
-                        _fused_short(lit_ref, out_ref, j, lp, op, ll, ml,
-                                     off, common, lit_rows, out_rows,
-                                     consts4, sink_ref=sink_ref)
+        # whole-phase skip (windowed kernel only): interior inert slot runs
+        # (the framer's 128-aligned block spans pad between blocks BELOW
+        # the last active slot, so the fori count bound does not exclude
+        # them — measured r5 at ~1.5x slot inflation on chained frames).
+        # One scalar OR + branch skips the entire vector body when every
+        # round member is inactive; same stores either way, so no new
+        # hazard pairs. MEASURED r5: LOSES everywhere — batched -9%
+        # (L=8 phases are never all-inactive), windowed -15% (the per-
+        # phase branch disrupts Mosaic's issue pipelining more than the
+        # skipped inert work saves). Default OFF; ZSTD_TPU_WEXEC_SKIP=1
+        # re-enables for probes.
+        if skip_inert:
+            any_act = recs[0][6]
+            for r in recs[1:]:
+                any_act = any_act | r[6]
+            gate = pl.when(any_act)
+        else:
+            gate = _nullgate()
 
-        if _ABLATE != "slow":
-            # slow records are ~0.2% of the corpus (seq_stats.py) — hoist
-            # the per-lane dispatch behind one any-lane-slow scalar branch
-            # so the common all-fused step pays a single OR + branch
-            # instead of L conditional regions
-            any_slow = recs[0][6] & ~recs[0][7]
-            for j, op, lp, ll, ml, off, active, common, ii in recs[1:]:
-                any_slow = any_slow | (active & ~common)
+        @gate
+        def _():
+            # branchless fused path for all lanes/round members first
+            # (their chains are independent — interleaved issue hides load
+            # latency)
+            if _ABLATE != "fused":
+                if _PHASED and not _SPLIT:
+                    blks = [_fused_loads(lit_ref, out_ref, j, lp, op, off,
+                                         lit_rows, out_rows)
+                            for j, op, lp, ll, ml, off, active, common, ii
+                            in recs]
+                    for (j, op, lp, ll, ml, off, active, common, ii), \
+                            (lb, mb) in zip(recs, blks):
+                        _fused_finish(out_ref, j, lb, mb, lp, op, ll, ml,
+                                      off, common, consts4,
+                                      sink_ref=sink_ref)
+                else:
+                    for j, op, lp, ll, ml, off, active, common, ii in recs:
+                        if _SPLIT:
+                            _fused_split(lit_ref, out_ref, j, lp, op, ll,
+                                         ml, off, common, lit_rows,
+                                         out_rows, consts4)
+                        else:
+                            _fused_short(lit_ref, out_ref, j, lp, op, ll,
+                                         ml, off, common, lit_rows,
+                                         out_rows, consts4,
+                                         sink_ref=sink_ref)
 
-            @pl.when(any_slow)
-            def _():
-                for j, op, lp, ll, ml, off, active, common, ii in recs:
-                    @pl.when(active & ~common)
-                    def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off, ii=ii):
-                        fsb = (fsb_ref[j, 0, ii] if fsb_ref is not None
-                               else None)
-                        slow_seq(j, op, lp, ll, ml, off, fsb)
+            if _ABLATE != "slow":
+                # slow records are ~0.2% of the corpus (seq_stats.py) —
+                # hoist the per-lane dispatch behind one any-lane-slow
+                # scalar branch so the common all-fused step pays a single
+                # OR + branch instead of L conditional regions
+                any_slow = recs[0][6] & ~recs[0][7]
+                for j, op, lp, ll, ml, off, active, common, ii in recs[1:]:
+                    any_slow = any_slow | (active & ~common)
+
+                @pl.when(any_slow)
+                def _():
+                    for j, op, lp, ll, ml, off, active, common, ii in recs:
+                        @pl.when(active & ~common)
+                        def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off,
+                              ii=ii):
+                            fsb = (fsb_ref[j, 0, ii] if fsb_ref is not None
+                                   else None)
+                            slow_seq(j, op, lp, ll, ml, off, fsb)
 
         return carry
 
@@ -999,7 +1033,9 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         _exec_kernel(ll_r, ml_r, of_r, op_r, lp_r, ns_r, lit_r, out_r,
                      lit_rows=lit_rows, out_rows=out_rows, L=Li,
                      fsb_ref=fsb_r, far_ref=far_r, far_rows=far_rows_blk,
-                     G=Gr)
+                     G=Gr,
+                     skip_inert=os.environ.get(
+                         "ZSTD_TPU_WEXEC_SKIP", "0") == "1")
 
     # DEVICE CONSTRAINT (measured, r3): the grid must not advance across
     # lane groups within one pallas_call — the single-buffered window

@@ -1110,52 +1110,75 @@ int64_t zt_huff_enc_build(const int64_t* counts,  // [256]
                           uint8_t* lens,          // [256] out
                           int32_t* weights_out,   // [256] out
                           int32_t* meta) {        // {max_bits, last_symbol}
-    struct Item {
-        int64_t count;
-        std::vector<int> syms;
-    };
-    std::vector<Item> base, pool;
+    // Package-merge over an index arena. The old form carried a
+    // std::vector<int> symbol multiset per item and re-stable_sorted the
+    // whole item list every round — 494 us/call, x128 blocks = the entire
+    // lit_section encode budget (54% of frame encode, r5 profile). Both
+    // the base list and the pool are already sorted by count (pairwise
+    // package sums of a sorted list are nondecreasing), so each round is
+    // one LINEAR merge; symbol membership becomes a child-pointer DFS at
+    // the end. Tie-breaking preserved exactly: stable_sort of
+    // [base..., pool...] keeps equal-count base items (in base order)
+    // ahead of pool items (in creation order) — a merge that prefers the
+    // base list on equal counts reproduces that, so codes stay
+    // byte-identical (tests/test_encoder_native.py pins it).
     int present[256], np_ = 0;
     for (int s = 0; s < 256; s++)
         if (counts[s] > 0) present[np_++] = s;
     if (np_ < 2) return -1;
     const int LIMIT = 11;
-    // syms sorted by (count, symbol) — stable sort over ascending symbols
-    std::vector<int> order(present, present + np_);
-    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    int order[256];
+    for (int i = 0; i < np_; i++) order[i] = present[i];
+    std::stable_sort(order, order + np_, [&](int a, int b) {
         return counts[a] < counts[b];
     });
     int64_t lengths[256] = {0};
-    if (np_ == 1) {
-        lengths[order[0]] = 1;
-    } else {
-        for (int s : order) base.push_back({counts[s], {s}});
+    {
+        struct Node { int64_t count; int l, r, sym; };
+        Node nodes[4096];
+        int nn = 0;
+        int base_ids[256];
+        for (int i = 0; i < np_; i++) {
+            nodes[nn] = {counts[order[i]], -1, -1, order[i]};
+            base_ids[i] = nn++;
+        }
+        int pool[512], npool = 0;
+        int merged[1024];
+        int nm = 0;
+        auto do_merge = [&]() {
+            int i = 0, j = 0;
+            nm = 0;
+            while (i < np_ || j < npool) {
+                if (j >= npool
+                    || (i < np_ && nodes[base_ids[i]].count
+                                   <= nodes[pool[j]].count))
+                    merged[nm++] = base_ids[i++];
+                else
+                    merged[nm++] = pool[j++];
+            }
+        };
         for (int r = 0; r < LIMIT - 1; r++) {
-            std::vector<Item> merged = base;
-            for (auto& it : pool) merged.push_back(it);
-            std::stable_sort(merged.begin(), merged.end(),
-                             [](const Item& a, const Item& b) {
-                                 return a.count < b.count;
-                             });
-            pool.clear();
-            for (size_t i = 0; i + 1 < merged.size(); i += 2) {
-                Item m;
-                m.count = merged[i].count + merged[i + 1].count;
-                m.syms = merged[i].syms;
-                m.syms.insert(m.syms.end(), merged[i + 1].syms.begin(),
-                              merged[i + 1].syms.end());
-                pool.push_back(std::move(m));
+            do_merge();
+            npool = 0;
+            for (int k = 0; k + 1 < nm; k += 2) {
+                nodes[nn] = {nodes[merged[k]].count
+                             + nodes[merged[k + 1]].count,
+                             merged[k], merged[k + 1], -1};
+                pool[npool++] = nn++;
             }
         }
-        std::vector<Item> fin = base;
-        for (auto& it : pool) fin.push_back(it);
-        std::stable_sort(fin.begin(), fin.end(),
-                         [](const Item& a, const Item& b) {
-                             return a.count < b.count;
-                         });
-        size_t take = 2 * (size_t)np_ - 2;
-        for (size_t i = 0; i < take && i < fin.size(); i++)
-            for (int s : fin[i].syms) lengths[s]++;
+        do_merge();
+        int take = 2 * np_ - 2;
+        int stack[64];
+        for (int t = 0; t < take && t < nm; t++) {
+            int sp = 0;
+            stack[sp++] = merged[t];
+            while (sp) {
+                const Node& nd = nodes[stack[--sp]];
+                if (nd.sym >= 0) lengths[nd.sym]++;
+                else { stack[sp++] = nd.l; stack[sp++] = nd.r; }
+            }
+        }
     }
     int max_len = 0;
     for (int s = 0; s < 256; s++)

@@ -101,3 +101,71 @@ def test_unregistered_dict_falls_back():
     assert batch.metas[0].fallback
     # host fallback has no dict either -> lane reports None, batch survives
     assert dec.decode_frames([frame]) == [None]
+
+
+@pytest.mark.skipif(not os.path.isdir(DICT_DIR),
+                    reason="reference dict corpus not mounted")
+def test_no_fcs_dict_frame_chains_on_device():
+    """A dict frame WITHOUT a frame content size (write_content_size=False)
+    cannot predict whether it chains at header time — it must take the
+    dict-prefill windowed path (decode_buffer.rs:143-179 serves dict
+    matches at any size; VERDICT r4 missing #5), not the host fallback."""
+    import zstandard
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    with open(os.path.join(DICT_DIR, "dictionary"), "rb") as f:
+        dict_bytes = f.read()
+    rng = np.random.RandomState(13)
+    tail = dict_bytes[-4096:]
+    chunks = []
+    for i in range(900):
+        chunks.append(tail[rng.randint(0, 2048):][:2048])
+        chunks.append(rng.randint(0, 256, 1024).astype(np.uint8).tobytes())
+    data = b"".join(chunks)  # > 2 MiB
+    comp = zstandard.ZstdCompressor(
+        level=3, dict_data=zstandard.ZstdCompressionDict(dict_bytes),
+        write_checksum=True, write_content_size=False)
+    frame = comp.compress(data)
+
+    dec = BatchDecoder()
+    dec.add_dict(dict_bytes)
+    batch = dec.prepare([frame])
+    m = batch.metas[0]
+    assert m.ok, m.error
+    assert not m.fallback, "no-FCS dict frame must stay on the device path"
+    assert m.dict_prefill and m.dict_skip == 0
+    assert len(m.rows) > 1, "frame this size must chain"
+    outputs, out_len, ok = dec.run_device(batch)
+    assert bool(np.asarray(ok)[m.rows[0]])
+    assert dec.decode_frames([frame]) == [data]
+
+
+@pytest.mark.skipif(not os.path.isdir(DICT_DIR),
+                    reason="reference dict corpus not mounted")
+def test_no_fcs_small_dict_frame_single_group_prefill():
+    """A SMALL no-FCS dict frame ends up a one-group 'chain': the windowed
+    driver still seeds the prefill (there is no synthetic-run fallback for
+    unknown sizes), and the decode stays on device."""
+    import zstandard
+
+    from zstd_tpu.models.batch_decoder import BatchDecoder
+
+    with open(os.path.join(DICT_DIR, "dictionary"), "rb") as f:
+        dict_bytes = f.read()
+    data = dict_bytes[-1500:] + b"small payload quoting the dictionary " * 40
+    comp = zstandard.ZstdCompressor(
+        level=3, dict_data=zstandard.ZstdCompressionDict(dict_bytes),
+        write_checksum=True, write_content_size=False)
+    frame = comp.compress(data)
+
+    dec = BatchDecoder()
+    dec.add_dict(dict_bytes)
+    batch = dec.prepare([frame])
+    m = batch.metas[0]
+    assert m.ok, m.error
+    assert not m.fallback
+    assert m.dict_prefill and len(m.rows) == 1
+    outputs, out_len, ok = dec.run_device(batch)
+    assert bool(np.asarray(ok)[m.rows[0]])
+    assert dec.decode_frames([frame]) == [data]

@@ -828,7 +828,11 @@ class BatchDecoder:
           _stage_sync(f"seq {w}x{c} B={len(idx)}", ll_full)
 
         # --- stage 2: offsets + exact lengths ----------------------------------
-        chained = [m for m in batch.metas if len(m.rows) > 1]
+        # dict-prefill frames ride the windowed driver even at one group —
+        # only its window prefix can seed the dictionary content (no-FCS
+        # dict frames can't predict whether they chain, framer.py)
+        chained = [m for m in batch.metas
+                   if len(m.rows) > 1 or (m.dict_prefill and m.rows)]
         with scope("offset_resolution"):
             if chained:
                 offsets, out_len, res_ok, nseq = _resolve_chained(
@@ -972,8 +976,22 @@ class BatchDecoder:
         chain_live = []
         for m in chained:
             rows = m.rows
+            # jumbo-group guard: one group must fit the windowed call's
+            # scoped-VMEM budget at li=1 — (2W + gw + lit) * 4 <= ~88 MB.
+            # Spec-valid frames framed by OUR grouping never get near this
+            # (GROUP_OUT_CAP ~2 MiB, <= ~123K seqs/group); the guard only
+            # routes hostile/malformed counts to the host oracle, whose
+            # typed errors are the contract (block_decoder.rs:97-197 has
+            # no cliff; neither do we for real frames).
+            Wp_m = _pow2(max(int(m.window),
+                             len(m.dict_prefill) if m.dict_prefill else 0,
+                             1024), lo=1024)
+            Wm = WINDOW_VMEM_CAP if Wp_m > STREAM_WINDOW_CAP else Wp_m
+            gw_allow = max(1 << 22, (76 << 20) - 8 * Wm
+                           - 4 * max(int(batch.row_lit_len[r])
+                                     for r in rows)) // 4
             if (max(int(nseq_bound[r]) for r in rows) > MAX_SMEM_SEQS
-                    or max(int(bound_h[r]) for r in rows) > (1 << 22)):
+                    or max(int(bound_h[r]) for r in rows) > gw_allow):
                 chain_pend.append((m, rows, None, 0, None, None))
                 continue
             chain_live.append(m)
@@ -992,7 +1010,14 @@ class BatchDecoder:
         # per group, instead of passing all lanes to one call.
         by_w = {}
         for m in chain_live:
-            Wp = _pow2(max(int(m.window), 1024), lo=1024)
+            # dict frames: match offsets legitimately reach the WHOLE dict
+            # content regardless of the advertised window (libzstd emits
+            # offset 46K at window 4K; ruzstd repeat_from_dict serves it,
+            # decode_buffer.rs:143-179) — the VMEM prefix must cover
+            # max(window, dict length)
+            wneed = max(int(m.window),
+                        len(m.dict_prefill) if m.dict_prefill else 0)
+            Wp = _pow2(max(wneed, 1024), lo=1024)
             if Wp > STREAM_WINDOW_CAP:
                 # real window too big for VMEM: 4 MiB VMEM prefix + far
                 # matches pre-gathered from the HBM accumulator
@@ -1178,7 +1203,9 @@ class BatchDecoder:
                 if pre:
                     acc_h = np.zeros((L, accw), np.uint8)
                     for i, p in pre:
-                        t = p[-min(len(p), int(metas[i].window), W):]
+                        # the whole dict is addressable (not just the
+                        # window's worth) — see the by_w wneed comment
+                        t = p[-min(len(p), W):]
                         acc_h[i, W - len(t):W] = np.frombuffer(t, np.uint8)
                         hist0_h[i] = len(t)
                     acc = jnp.asarray(acc_h)

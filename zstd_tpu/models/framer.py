@@ -240,10 +240,9 @@ class Framer:
                    (self.frames[self._chain_rows[-1]]["out_bound"]
                     > GROUP_OUT_CAP + C.MAX_BLOCK_SIZE))
         if (chained and meta.dict_skip) or too_big:
-            meta.fallback = True
-        if meta.dict_prefill and not chained:
-            # chain prediction missed (e.g. lying FCS) — the prefill only
-            # reaches the window via the chained driver
+            # dict_skip only arises with a KNOWN-small FCS; a frame that
+            # chained anyway carries a lying FCS (corrupt per spec) — the
+            # host oracle raises the exact typed error
             meta.fallback = True
         if meta.dict_prefill and meta.window > STREAM_WINDOW_CAP:
             from zstd_tpu.ops.pallas_execute import WINDOW_VMEM_CAP
@@ -253,6 +252,12 @@ class Framer:
                 # bytes; a dict prefill larger than it cannot seed the
                 # accumulator preamble
                 meta.fallback = True
+        elif (meta.dict_prefill
+              and len(meta.dict_prefill) > STREAM_WINDOW_CAP):
+            # the whole dict is addressable regardless of the window
+            # (decode_buffer.rs:143-179) but the VMEM window prefix caps at
+            # STREAM_WINDOW_CAP — exotic >8 MiB dicts go to the host oracle
+            meta.fallback = True
         if not meta.ok or meta.fallback:
             # strip this frame's lanes/tables/rows so a fallback frame does
             # not inflate the whole batch's widths
@@ -399,12 +404,16 @@ class Framer:
             self._cur["hist"] = list(d.offset_hist)
             if d.content:
                 fcs = header.frame_content_size
-                if fcs is not None and fcs > GROUP_OUT_CAP:
-                    # this frame WILL chain (out_bound >= fcs splits it):
-                    # the chain driver seeds the windowed exec kernel's
-                    # window prefix with the dict content directly
-                    # (decode_buffer.rs:143-179 repeat_from_dict analog) —
-                    # no output inflation, no dict_skip slice
+                if fcs is None or fcs > GROUP_OUT_CAP:
+                    # this frame WILL chain (out_bound >= fcs splits it)
+                    # or its size is UNKNOWN (no FCS — it may chain, and
+                    # the synthetic-run trick below cannot be undone once
+                    # groups split): the chain driver seeds the windowed
+                    # exec kernel's window prefix with the dict content
+                    # directly (decode_buffer.rs:143-179 repeat_from_dict
+                    # analog) — no output inflation, no dict_skip slice.
+                    # Single-group prefill frames ride the windowed driver
+                    # too (batch_decoder treats them as 1-length chains).
                     meta.dict_prefill = bytes(d.content)
                 else:
                     # single-row frames: emit the content as a leading

@@ -265,13 +265,18 @@ def main():
     # staging cost is reported separately as h2d_upload_s) and outputs stay
     # device-resident. Steady state should approach the device-only rate,
     # proving prepare is hidden.
-    p_rounds = 3
+    # steady-state: the first yield carries the pipeline-fill prepare
+    # (nothing overlaps it) — start the clock after it so the number
+    # reports the sustained serving rate, which is what "prepare is
+    # hidden" means
+    p_rounds = 4
+    gen = dec.decode_frames_pipelined([frames] * p_rounds,
+                                      pull_outputs=False, prestaged=staged)
+    next(gen)
     t0 = time.time()
-    for _ in dec.decode_frames_pipelined([frames] * p_rounds,
-                                         pull_outputs=False,
-                                         prestaged=staged):
+    for _ in gen:
         pass
-    t_pipe = (time.time() - t0) / p_rounds
+    t_pipe = (time.time() - t0) / (p_rounds - 1)
 
     gbps = n_bytes / t_device / 1e9
     e2e = n_bytes / (t_device + t_prepare) / 1e9

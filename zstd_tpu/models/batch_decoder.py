@@ -1239,6 +1239,9 @@ class BatchDecoder:
                                 interpret=not pallas_ok, hist0=hist0,
                                 real_win=real_win, far_w=fw)
                             okv = okv & ok_r
+                            _stage_sync(
+                                f"superchain k0={k0} Kg={Kg} "
+                                f"sws={sum(sws)} gws={sum(gws)}", written)
                     for i, m in enumerate(metas):
                         chain_pend.append((m, m.rows, (acc, i), W,
                                            written[i], okv[i]))

@@ -639,8 +639,11 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                 ml = ml_ref[j, 0, ii]
                 off = of_ref[j, 0, ii]
                 active = ii < counts[j]
-                common = active & (llp >= (1 << 24))
-                recs.append((j, op, lp, ll, ml, off, active, common, ii))
+                # exact bit tests: bit 24 = phased-fused eligible, bit 25 =
+                # fused-but-in-order (failed only the round barrier)
+                common = active & (((llp >> 24) & 1) == 1)
+                recs.append((j, op, lp, ll, ml, off, active, common, ii,
+                             llp))
 
         if _ABLATE == "body":
             return carry
@@ -673,15 +676,16 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                 if _PHASED and not _SPLIT:
                     blks = [_fused_loads(lit_ref, out_ref, j, lp, op, off,
                                          lit_rows, out_rows)
-                            for j, op, lp, ll, ml, off, active, common, ii
-                            in recs]
-                    for (j, op, lp, ll, ml, off, active, common, ii), \
-                            (lb, mb) in zip(recs, blks):
+                            for j, op, lp, ll, ml, off, active, common, ii,
+                            llp in recs]
+                    for (j, op, lp, ll, ml, off, active, common, ii,
+                         llp), (lb, mb) in zip(recs, blks):
                         _fused_finish(out_ref, j, lb, mb, lp, op, ll, ml,
                                       off, common, consts4,
                                       sink_ref=sink_ref)
                 else:
-                    for j, op, lp, ll, ml, off, active, common, ii in recs:
+                    for (j, op, lp, ll, ml, off, active, common, ii,
+                         llp) in recs:
                         if _SPLIT:
                             _fused_split(lit_ref, out_ref, j, lp, op, ll,
                                          ml, off, common, lit_rows,
@@ -693,18 +697,32 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                                          sink_ref=sink_ref)
 
             if _ABLATE != "slow":
-                # slow records are ~0.2% of the corpus (seq_stats.py) —
-                # hoist the per-lane dispatch behind one any-lane-slow
-                # scalar branch so the common all-fused step pays a single
-                # OR + branch instead of L conditional regions
+                # slow records are ~0.2% of the corpus at G=1
+                # (seq_stats.py) — hoist the per-lane dispatch behind one
+                # any-lane-slow scalar branch so the common all-fused step
+                # pays a single OR + branch instead of L conditional
+                # regions. At G>1, bit-25 records (failed only the round
+                # barrier) run the ordinary fused copy IN ORDER here —
+                # NOT the us-class chunked slow path.
                 any_slow = recs[0][6] & ~recs[0][7]
-                for j, op, lp, ll, ml, off, active, common, ii in recs[1:]:
+                for (j, op, lp, ll, ml, off, active, common, ii,
+                     llp) in recs[1:]:
                     any_slow = any_slow | (active & ~common)
 
                 @pl.when(any_slow)
                 def _():
-                    for j, op, lp, ll, ml, off, active, common, ii in recs:
-                        @pl.when(active & ~common)
+                    for (j, op, lp, ll, ml, off, active, common, ii,
+                         llp) in recs:
+                        nearf = (((llp >> 25) & 1) == 1)
+
+                        @pl.when(active & ~common & nearf)
+                        def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
+                            _fused_short(lit_ref, out_ref, j, lp, op, ll,
+                                         ml, off, op >= 0, lit_rows,
+                                         out_rows, consts4,
+                                         sink_ref=sink_ref)
+
+                        @pl.when(active & ~common & ~nearf)
                         def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off,
                               ii=ii):
                             fsb = (fsb_ref[j, 0, ii] if fsb_ref is not None
@@ -972,9 +990,20 @@ def execute_window_pallas(ll, ml, offset,   # (L, S) i32 group records
         # only correct when the match source ENDS below the ROUND's first
         # output position (all round members' stores land above it). At
         # G=1 this degenerates to the plain disjoint check (off >= run).
+        #
+        # Records that fail ONLY the round barrier (near matches — their
+        # source overlaps the round's span) still run the fused copy, just
+        # IN ORDER at the slow-dispatch point (bit 25): by then the
+        # round's earlier stores have executed, and later hoisted loads
+        # are round-barrier-eligible so they cannot read this record's
+        # store. Without this tier the round barrier sent ~1/3 of chained
+        # text records to the us-class chunked slow path (measured r5:
+        # 22 of 65 ms).
         ridx = (jnp.arange(S, dtype=jnp.int32) // Gr) * Gr
         rs = jnp.take(opv, ridx, axis=1)
+        near_ok = common
         common = common & ((ml == 0) | (offset >= (opv + ll + ml) - rs))
+        ll = ll | jnp.where(near_ok & ~common, 1 << 25, 0)
     ll = ll | jnp.where(common, 1 << 24, 0)
 
     w_in_rows = _FR + window // 128

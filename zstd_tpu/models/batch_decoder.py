@@ -1158,16 +1158,18 @@ class BatchDecoder:
                             kk = k0 + len(gws)
                             live = [m.rows[kk] for m in metas
                                     if kk < len(m.rows)]
+                            # plain pow2 (q=1): q=2 rounds odd exponents a
+                            # whole extra octave up (27K slots -> 65536)
                             gw = _pow2(max(max(exact_len(r)
                                                for r in live), 512),
-                                       lo=512, q=2)
+                                       lo=512)
                             lw = min(_pow2(max(max(int(lit_len_h[r])
                                                    for r in live), 4),
                                            lo=4),
                                      lit_full.shape[1] * 4)
                             sw = min(_pow2(max(max(exact_ns(r)
                                                    for r in live), 128),
-                                           lo=128, q=2),
+                                           lo=128),
                                      ll_full.shape[1])
                             fb = (max((far_tot.get(r, 0) for r in live),
                                       default=0) if far_mode else 0)

@@ -445,11 +445,28 @@ def _make_slow_seq(lit_ref, out_ref, consts, lit_rows: int, out_rows: int,
         opm = op + ll
         if far_ref is not None:
             not_far = fsb < 0
+            # far source bytes are CONTIGUOUS in the pre-gathered far_ref
+            # stream (128-byte lead pad keeps row math >= 0) — short spans
+            # take the same 2-row windowed copy as short literal runs
+            # instead of the us-class chunked loop (far-heavy bigwindow
+            # calls were dominated by it, r5)
+            short_f = (opm & 127) + ml <= 256
 
-            @pl.when((ml > 0) & ~not_far)
+            @pl.when((ml > 0) & ~not_far & short_f)
             def _():
-                # far match: source bytes were pre-gathered into far_ref
-                # (128-byte lead pad keeps _copy_chunked's row math >= 0)
+                dm = (fsb + 128) - opm
+                q = dm >> 7
+                m = dm & 127
+                rot = _window(far_ref, j, (opm >> 7) + q, (128 - m) & 127,
+                              2, far_rows)
+                val = jnp.where(consts[0] < 128 - m, rot[0:2], rot[1:3])
+                rd = opm >> 7
+                d = 128 * rd + consts[1]
+                mask = (d >= opm) & (d < opm + ml)
+                _st(out_ref, j, rd, 2, val, mask)
+
+            @pl.when((ml > 0) & ~not_far & ~short_f)
+            def _():
                 _copy_chunked(far_ref, out_ref, j, fsb + 128, opm, ml, _K,
                               far_rows)
 

@@ -772,13 +772,6 @@ static int64_t encode_seq_stream_codes(
         int64_t value = ((int64_t)nb << 16) - dnb[c];
         *st = ns[(value >> nb) + dfs[c]];
     };
-    auto enc = [&w](int32_t* st, const int32_t* dnb, const int32_t* dfs,
-                    const int32_t* ns, int c) -> int {
-        int nb = (*st + dnb[c]) >> 16;
-        if (bw_put(&w, (uint64_t)(uint32_t)*st, nb) < 0) return -1;
-        *st = ns[(*st >> nb) + dfs[c]];
-        return 0;
-    };
     int64_t last = n - 1;
     int llc = llc_a[last], mlc = mlc_a[last], ofc = ofc_a[last];
     if (en_ml) init_state(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc);
@@ -788,14 +781,44 @@ static int64_t encode_seq_stream_codes(
         bw_put(&w, (uint64_t)(mlv[last] - ml_cb_base[mlc]), ml_cb_bits[mlc]) < 0 ||
         bw_put(&w, (uint64_t)(ofv[last] - (1LL << ofc)), ofc) < 0)
         return -1;
+    // Batched bit pushes: LSB-first concatenation makes
+    // bw_put(a,na); bw_put(b,nb) == bw_put(a | b<<na, na+nb) exactly, so
+    // the three state pushes (<= 27 bits) fuse into one put and the LL+ML
+    // extras (<= 32 bits) into another — 6 puts/record -> 3 (the stream
+    // encode was the bulk of seq_section's 25.7 ms at 16 MiB, r5).
     for (int64_t i = n - 2; i >= 0; i--) {
         llc = llc_a[i]; mlc = mlc_a[i]; ofc = ofc_a[i];
-        if (en_of && enc(&s_of, of_dnb, of_dfs, of_ns, ofc) < 0) return -1;
-        if (en_ml && enc(&s_ml, ml_dnb, ml_dfs, ml_ns, mlc) < 0) return -1;
-        if (en_ll && enc(&s_ll, ll_dnb, ll_dfs, ll_ns, llc) < 0) return -1;
-        if (bw_put(&w, (uint64_t)(ll[i] - ll_cb_base[llc]), ll_cb_bits[llc]) < 0 ||
-            bw_put(&w, (uint64_t)(mlv[i] - ml_cb_base[mlc]), ml_cb_bits[mlc]) < 0 ||
-            bw_put(&w, (uint64_t)(ofv[i] - (1LL << ofc)), ofc) < 0)
+        uint64_t sv = 0;
+        int sn = 0;
+        if (en_of) {
+            int nb = (s_of + of_dnb[ofc]) >> 16;
+            sv |= ((uint64_t)(uint32_t)s_of & (((uint64_t)1 << nb) - 1));
+            sn = nb;
+            s_of = of_ns[(s_of >> nb) + of_dfs[ofc]];
+        }
+        if (en_ml) {
+            int nb = (s_ml + ml_dnb[mlc]) >> 16;
+            sv |= ((uint64_t)(uint32_t)s_ml & (((uint64_t)1 << nb) - 1))
+                  << sn;
+            sn += nb;
+            s_ml = ml_ns[(s_ml >> nb) + ml_dfs[mlc]];
+        }
+        if (en_ll) {
+            int nb = (s_ll + ll_dnb[llc]) >> 16;
+            sv |= ((uint64_t)(uint32_t)s_ll & (((uint64_t)1 << nb) - 1))
+                  << sn;
+            sn += nb;
+            s_ll = ll_ns[(s_ll >> nb) + ll_dfs[llc]];
+        }
+        if (bw_put(&w, sv, sn) < 0) return -1;
+        int lb = ll_cb_bits[llc], mb = ml_cb_bits[mlc];
+        uint64_t ev =
+            ((uint64_t)(uint32_t)(ll[i] - ll_cb_base[llc])
+             & (((uint64_t)1 << lb) - 1))
+            | (((uint64_t)(uint32_t)(mlv[i] - ml_cb_base[mlc])
+                & (((uint64_t)1 << mb) - 1)) << lb);
+        if (bw_put(&w, ev, lb + mb) < 0) return -1;
+        if (bw_put(&w, (uint64_t)(ofv[i] - (1LL << ofc)), ofc) < 0)
             return -1;
     }
     if (en_ml && bw_put(&w, (uint64_t)(uint32_t)s_ml, ml_log) < 0) return -1;

@@ -1071,8 +1071,19 @@ class BatchDecoder:
             lw_all = min(_pow2(max(max(int(lit_len_h[r])
                                        for m in bucket for r in m.rows), 4),
                                lo=4), lit_full.shape[1] * 4)
-            both = (2 * (W + gw_all) if not _WEXEC_NOALIAS
-                    else (W + gw_all) + W)
+            # lockstep width vs super-packing tradeoff (measured r5 on the
+            # 4x8 MiB lockstep scenario: li=4 leaves VMEM for only ONE
+            # group per call and loses to li=2 with ~3-group super calls,
+            # 0.193 vs 0.210): when exact sizes are known, budget each
+            # call for ~3 median groups so li stops doubling before it
+            # starves the packing
+            gw_eff = gw_all
+            if exact_cache is not None:
+                sizes = sorted(_pow2(exact_len(r), lo=512)
+                               for m in bucket for r in m.rows)
+                gw_eff = max(gw_all, 3 * sizes[len(sizes) // 2])
+            both = (2 * (W + gw_eff) if not _WEXEC_NOALIAS
+                    else (W + gw_eff) + W)
             per_lane = (both + lw_all) * 4 + (1 << 16)
             if far_mode:
                 # far stream block: worst case every match byte is far

@@ -81,21 +81,36 @@ class BatchEncoder:
         if level != CompressionLevel.FASTEST:
             raise NotImplementedError(f"level {level.name} not implemented")
 
+        import time as _time
+
         # ---- host pass: plan every block -----------------------------------
+        t0 = _time.time()
         plans = []   # per frame: list of block plans
         huff_lanes: list[_HuffLane] = []
         seq_lanes: list[_SeqLane] = []
         for p in payloads:
             plans.append(self._plan_frame(bytes(p), huff_lanes, seq_lanes))
+        t_plan = _time.time() - t0
 
+        # ---- device pass: batched entropy coding (includes host<->device
+        # stream transfers — on the dev tunnel those run at ~8 MB/s, which
+        # a production PCIe link does not; last_stats separates the phases
+        # so the amortized device share is visible)
+        t0 = _time.time()
         huff_streams = self._encode_huff_lanes(huff_lanes)
         seq_streams = self._encode_seq_lanes(seq_lanes)
+        t_entropy = _time.time() - t0
 
         # ---- host pass: assemble frames ------------------------------------
+        t0 = _time.time()
         out = []
         for p, frame_plan in zip(payloads, plans):
             out.append(self._assemble_frame(bytes(p), frame_plan,
                                             huff_streams, seq_streams))
+        self.last_stats = {"plan_s": round(t_plan, 4),
+                           "entropy_s": round(t_entropy, 4),
+                           "assemble_s": round(_time.time() - t0, 4),
+                           "lanes": len(huff_lanes) + len(seq_lanes)}
         return out
 
     # ------------------------------------------------------------------ plan

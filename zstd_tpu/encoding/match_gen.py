@@ -45,7 +45,10 @@ def hash5_all(data: np.ndarray) -> np.ndarray:
 
 def find_sequences(block: bytes) -> list[RawSequence]:
     """Greedy single-probe match finding within one standalone block."""
-    table = np.full(1 << HASH_LOG, -1, dtype=np.int64)
+    import os
+
+    dtype = np.int64 if os.environ.get("ZT_NO_NATIVE") else np.int32
+    table = np.full(1 << HASH_LOG, -1, dtype=dtype)
     return find_sequences_ctx(block, 0, 0, len(block), table, 1 << 62)
 
 
@@ -58,8 +61,29 @@ def find_sequences_ctx(buf, base: int, lo: int, hi: int, table,
     frame-lifetime candidate table (absolute positions, -1 init once per
     frame), so match sources reach up to `max_off` bytes back ACROSS block
     boundaries — beyond the reference's per-slice window
-    (match_generator.rs). Byte-identical to the native zt_find_sequences.
+    (match_generator.rs). Byte-identical to the native zt_find_sequences,
+    which serves as the fast path when the table layout allows it (the
+    byte-level Python scan below is the oracle; ZT_NO_NATIVE=1 forces it).
     """
+    import os
+
+    if (not os.environ.get("ZT_NO_NATIVE")
+            and getattr(table, "dtype", None) == np.int32):
+        from zstd_tpu.runtime import find_sequences_arrays_ctx
+
+        r = find_sequences_arrays_ctx(buf, base, lo, hi, table, max_off)
+        if r is not None:
+            ll_a, off_a, ml_a = r
+            mv0 = memoryview(buf)
+            seqs = []
+            pos = lo
+            for i in range(len(ll_a)):
+                l = int(ll_a[i])
+                seqs.append(RawSequence(
+                    bytes(mv0[pos - base:pos - base + l]),
+                    int(off_a[i]), int(ml_a[i])))
+                pos += l + int(ml_a[i])
+            return seqs
     n = hi - lo
     mv = memoryview(buf)
     if n < MIN_MATCH + 3:

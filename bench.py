@@ -258,7 +258,7 @@ def main():
     # host<->device bytes at ~8 MB/s, which a production PCIe/DMA link does
     # not — report transfer costs separately)
     dec.run_device(batch, staged, pull_outputs=False)  # warm serving path
-    runs = 3
+    runs = 5  # wall-clock varies ±10% run to run on the tunnel (CLAUDE.md)
     t0 = time.time()
     for _ in range(runs):
         _, _, ok_t = dec.run_device(batch, staged, pull_outputs=False)

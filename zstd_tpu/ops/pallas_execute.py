@@ -656,9 +656,16 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                 ml = ml_ref[j, 0, ii]
                 off = of_ref[j, 0, ii]
                 active = ii < counts[j]
-                # exact bit tests: bit 24 = phased-fused eligible, bit 25 =
-                # fused-but-in-order (failed only the round barrier)
-                common = active & (((llp >> 24) & 1) == 1)
+                # bit 24 = phased-fused eligible; bit 25 (G>1 only) =
+                # fused-but-in-order (failed only the round barrier). The
+                # G==1 kernels never set bit 25, so the single-compare
+                # form stays — the exact bit test cost the batched replay
+                # 63.1 -> 70.0 ms (measured r5; scalar ops per record are
+                # not free at 1.9M records).
+                if G > 1:
+                    common = active & (((llp >> 24) & 1) == 1)
+                else:
+                    common = active & (llp >= (1 << 24))
                 recs.append((j, op, lp, ll, ml, off, active, common, ii,
                              llp))
 
@@ -730,16 +737,23 @@ def _exec_kernel(ll_ref, ml_ref, of_ref, op_ref, lp_ref, ns_ref, lit_ref,
                 def _():
                     for (j, op, lp, ll, ml, off, active, common, ii,
                          llp) in recs:
-                        nearf = (((llp >> 25) & 1) == 1)
+                        slow_cond = active & ~common
+                        if G > 1:
+                            # bit 25 exists only in windowed (G>1) calls;
+                            # tracing the branch at G==1 perturbed the
+                            # batched kernel's schedule for nothing
+                            nearf = (((llp >> 25) & 1) == 1)
 
-                        @pl.when(active & ~common & nearf)
-                        def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off):
-                            _fused_short(lit_ref, out_ref, j, lp, op, ll,
-                                         ml, off, op >= 0, lit_rows,
-                                         out_rows, consts4,
-                                         sink_ref=sink_ref)
+                            @pl.when(slow_cond & nearf)
+                            def _(j=j, op=op, lp=lp, ll=ll, ml=ml,
+                                  off=off):
+                                _fused_short(lit_ref, out_ref, j, lp, op,
+                                             ll, ml, off, op >= 0,
+                                             lit_rows, out_rows, consts4,
+                                             sink_ref=sink_ref)
+                            slow_cond = slow_cond & ~nearf
 
-                        @pl.when(active & ~common & ~nearf)
+                        @pl.when(slow_cond)
                         def _(j=j, op=op, lp=lp, ll=ll, ml=ml, off=off,
                               ii=ii):
                             fsb = (fsb_ref[j, 0, ii] if fsb_ref is not None

@@ -493,6 +493,11 @@ def _chain_group_step(ll_full, ml_full, offsets, lit_full, out_len_all,
     return acc, written + olen, ok_r
 
 
+@jax.jit
+def _and_all(x):
+    return jnp.all(x, axis=0)
+
+
 def _unpack_words(w):
     """(B, L4) i32 packed bytes -> (B, 4*L4) u8 (little-endian order)."""
     parts = jnp.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255,
@@ -1232,29 +1237,43 @@ class BatchDecoder:
                 okv = jnp.ones((L,), bool)
                 cap_chain = os.environ.get("ZSTD_TPU_CAPTURE_CHAIN")
                 if use_super:
+                    # per-eager-op dispatch costs ~0.5 ms on the tunnel:
+                    # cache the rows matrices on the batch (device_put per
+                    # call otherwise) and fold the per-call ok ANDs once
+                    rm_cache = getattr(batch, "_super_rows", None)
+                    if rm_cache is None:
+                        rm_cache = {}
+                        batch._super_rows = rm_cache
+                    oks = []
                     with scope(f"lz77_superchain_{L}x{len(supers)}x{W}"):
                         for (k0, gws, lws, sws, fbytes) in supers:
                             Kg = len(gws)
-                            rows_mat = np.full((L, Kg), frame_inert,
-                                               np.int32)
-                            for i, m in enumerate(metas):
-                                for j in range(Kg):
-                                    if k0 + j < len(m.rows):
-                                        rows_mat[i, j] = m.rows[k0 + j]
+                            key = (W, s, k0, Kg)
+                            rows_dev = rm_cache.get(key)
+                            if rows_dev is None:
+                                rows_mat = np.full((L, Kg), frame_inert,
+                                                   np.int32)
+                                for i, m in enumerate(metas):
+                                    for j in range(Kg):
+                                        if k0 + j < len(m.rows):
+                                            rows_mat[i, j] = m.rows[k0 + j]
+                                rows_dev = jnp.asarray(rows_mat)
+                                rm_cache[key] = rows_dev
                             fw = (_pow2(fbytes, lo=1 << 14, q=2)
                                   if (far_mode and fbytes) else 0)
                             acc, written, ok_r = _chain_super_step(
                                 ll_full, ml_full, offsets, lit_full,
-                                out_len, acc, written,
-                                jnp.asarray(rows_mat),
+                                out_len, acc, written, rows_dev,
                                 gws=gws, lws=lws, s_ws=sws, W=W,
                                 lanes_per_step=L,
                                 interpret=not pallas_ok, hist0=hist0,
                                 real_win=real_win, far_w=fw)
-                            okv = okv & ok_r
+                            oks.append(ok_r)
                             _stage_sync(
                                 f"superchain k0={k0} Kg={Kg} "
                                 f"sws={sum(sws)} gws={sum(gws)}", written)
+                    okv = (oks[0] if len(oks) == 1
+                           else _and_all(jnp.stack(oks)))
                     for i, m in enumerate(metas):
                         chain_pend.append((m, m.rows, (acc, i), W,
                                            written[i], okv[i]))
